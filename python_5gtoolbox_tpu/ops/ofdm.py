@@ -1,0 +1,140 @@
+"""OFDM Tx/Rx low-PHY: IFFT + CP + phase compensation, TS 38.211 5.3.1.
+
+Behavior parity target: py5gphy/nr_lowphy/tx_lowphy_process.py:10-80
+(center-mapped ifftshift IFFT with sqrt(N) scaling, CP prepend, per-symbol
+carrier phase compensation, optional fractional-timing phase ramp Dm) and
+rx_lowphy_process.py:35-98 (half-CP-shifted FFT window).
+
+TPU design: slots are a leading batch axis; all 14 symbols IFFT in one
+batched XLA FFT; CP insertion is a single static gather; per-symbol phase
+compensation factors are plan-time complex scalars. No per-symbol Python
+loop on the device path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from python_5gtoolbox_tpu.utils import numerology as num
+
+
+@functools.lru_cache(maxsize=None)
+def _cp_table(scs: int, nfft: int) -> np.ndarray:
+    if scs == 15:
+        base = np.array([320] + [288] * 6 + [320] + [288] * 6)
+    else:
+        base = np.array([352] + [288] * 13)
+    return (base * nfft // 4096).astype(np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def _cp_gather_index(scs: int, nfft: int) -> np.ndarray:
+    """Flat index into (14*nfft,) IFFT output producing the CP'd slot."""
+    cps = _cp_table(scs, nfft)
+    idx = []
+    for m in range(14):
+        base = m * nfft
+        idx.append(base + np.arange(nfft - cps[m], nfft))  # CP
+        idx.append(base + np.arange(nfft))                 # body
+    return np.concatenate(idx).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_comp(scs: int, nfft: int, carrier_freq_hz: int) -> np.ndarray:
+    """Per-symbol phase compensation e^{-j2πΔ(t_off+CP)} (tx_lowphy:72-75)."""
+    cps = _cp_table(scs, nfft)
+    fs = nfft * scs * 1000
+    out = np.ones(14, np.complex64)
+    if carrier_freq_hz:
+        delta = carrier_freq_hz / fs
+        off = 0
+        for m in range(14):
+            out[m] = np.exp(-1j * 2 * np.pi * delta * (off + cps[m]))
+            off += cps[m] + nfft
+    return out
+
+
+def slot_sample_count(scs: int, bw: int) -> int:
+    nfft = num.fft_size(num.carrier_prb_size(scs, bw))
+    return int(_cp_table(scs, nfft).sum()) + 14 * nfft
+
+
+def tx_low_phy(fd_slots: jnp.ndarray, scs: int, bw: int,
+               carrier_freq_hz: int = 0, dm: jnp.ndarray | None = None,
+               nfft: int | None = None) -> jnp.ndarray:
+    """(..., ant, 14, n_sc) frequency grid -> (..., ant, slot_samples).
+
+    dm: optional (..., 14) per-symbol fractional timing error (seconds)
+        applied as a frequency-domain phase ramp (channel-sim impairment).
+    """
+    n_sc = fd_slots.shape[-1]
+    if nfft is None:
+        nfft = num.fft_size(num.carrier_prb_size(scs, bw))
+    x = fd_slots.astype(jnp.complex64)
+    if dm is not None:
+        k = jnp.arange(n_sc, dtype=jnp.float32)
+        ramp = jnp.exp(1j * 2 * jnp.pi * k * (scs * 1000.0)
+                       * dm[..., None, :, None].astype(jnp.float32))
+        # dm broadcast: (..., 14) -> (..., 1, 14, 1) over (ant, sym, sc)
+        x = x * ramp.astype(jnp.complex64)
+    lo = (nfft - n_sc) // 2
+    pad = [(0, 0)] * (x.ndim - 1) + [(lo, nfft - n_sc - lo)]
+    spec = jnp.pad(x, pad)
+    spec = jnp.fft.ifftshift(spec, axes=-1)
+    # The reference calls ifftshift without axes on its (ant, nfft)
+    # buffer (tx_lowphy_process.py:63), which also rolls the ANTENNA
+    # axis by nant//2 — a pure antenna permutation that its Rx side
+    # undoes. Replicated for waveform-level parity.
+    nant = spec.shape[-3]
+    if nant > 1:
+        spec = jnp.roll(spec, -(nant // 2), axis=-3)
+    td = jnp.fft.ifft(spec, axis=-1) * np.sqrt(nfft)
+    td = td * jnp.asarray(_phase_comp(scs, nfft, carrier_freq_hz))[:, None]
+    flat = td.reshape(td.shape[:-2] + (14 * nfft,))
+    out = flat[..., jnp.asarray(_cp_gather_index(scs, nfft))]
+    return out.astype(jnp.complex64)
+
+
+def rx_low_phy(td_slots: jnp.ndarray, scs: int, bw: int,
+               carrier_freq_hz: int = 0,
+               nfft: int | None = None, n_sc: int | None = None
+               ) -> jnp.ndarray:
+    """(..., ant, slot_samples) -> (..., ant, 14, n_sc) frequency grid.
+
+    Uses the reference's half-CP-advanced FFT window: take the last CP/2
+    CP samples plus the first N-CP/2 data samples, then undo the CP/2
+    advance with a frequency-domain phase ramp (rx_lowphy_process.py:72-94).
+    """
+    if nfft is None:
+        nfft = num.fft_size(num.carrier_prb_size(scs, bw))
+    if n_sc is None:
+        n_sc = 12 * num.carrier_prb_size(scs, bw)
+    cps = _cp_table(scs, nfft)
+    half = int(cps[1]) // 2  # half of the SHORT CP, same for every symbol
+    # gather each symbol's FFT window (advanced by half a short CP)
+    idx = []
+    off = 0
+    for m in range(14):
+        cp = int(cps[m])
+        start = off + cp - half
+        idx.append(np.arange(start, start + nfft))
+        off += cp + nfft
+    idx = np.stack(idx)  # (14, nfft)
+    win = td_slots[..., jnp.asarray(idx.astype(np.int32))]  # (..., ant, 14, nfft)
+    # undo per-symbol tx phase compensation
+    pc = _phase_comp(scs, nfft, carrier_freq_hz)
+    win = win * jnp.asarray(np.conj(pc))[:, None]
+    spec = jnp.fft.fft(win, axis=-1) / np.sqrt(nfft)
+    spec = jnp.fft.fftshift(spec, axes=-1)
+    # undo the reference's antenna-axis roll (see tx_low_phy); its Rx
+    # fftshift also runs over all axes (rx_lowphy_process.py:90)
+    nant = spec.shape[-3]
+    if nant > 1:
+        spec = jnp.roll(spec, nant // 2, axis=-3)
+    lo = (nfft - n_sc) // 2
+    spec = spec[..., lo: lo + n_sc]
+    # phase ramp undoing the half-CP time advance (post-fftshift indexing)
+    ramp = np.exp(1j * 2 * np.pi * half * (lo + np.arange(n_sc)) / nfft)
+    return (spec * jnp.asarray(ramp.astype(np.complex64))).astype(jnp.complex64)

@@ -1,0 +1,262 @@
+"""Batched CA-PC-SCL polar decoder (LLR-based min-sum f/g).
+
+Behavior parity target: py5gphy/polar/nr_polar_decoder_CA_PC_SCL.py and
+nr_polar_decoder_SC.py — bit-reversed LLR layout, min-sum f, LLR-domain g,
+path metric per "LLR-Based Successive Cancellation List Decoding of Polar
+Codes" eq. 12 (hard), PC-bit check via the cyclic 5-register, distributed
+CRC24C in-loop pruning (iIL=1), final CRC-ranked path selection (iIL=0).
+
+TPU design:
+  * The list dimension L is a tensor axis: state is (batch, L, ...) and
+    path fork/prune is a jax.lax.top_k over 2L candidates followed by one
+    gather of the compact per-level state.
+  * The SC schedule is unrolled at trace time (leaf index static), so all
+    f/g updates are static slices — alphas/betas live as one array per
+    tree level, sized 2^level.
+  * Frozen, PC and distributed-CRC bit positions become *forced* bits:
+    their value is a static-XOR function of earlier decided bits, so the
+    list never forks there. This is exactly equivalent to the reference's
+    fork-then-kill (the killed child is the CRC/PC-inconsistent one and
+    the survivor carries the same path metric penalty), but keeps all L
+    slots occupied by CRC-consistent paths.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from python_5gtoolbox_tpu.ops import crc as crc_ops
+from python_5gtoolbox_tpu.ops.polar.construct import construct
+from python_5gtoolbox_tpu.ops.polar.interleave import (
+    input_deinterleave_table, input_interleave_table)
+
+_BIG = 1e30
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_plan(K: int, E: int, n_max: int, i_il: int, crc_len: int,
+                 pad_crc: int, force_crc: bool):
+    """Static leaf schedule.
+
+    Returns (N, leaves, ckbar_pos, deintl or None) where leaves[p] is one
+    of ('frozen',), ('data', input_index), ('forced', src_u_positions,
+    mask_is_rnti_dependent: col index or -1, static_mask_bit).
+    For forced CRC bits the rnti-dependent mask bit is resolved at run
+    time from the traced rnti, so the plan stores the crc-bit column.
+    """
+    F, qpc, N, nPC, _ = construct(K, E, n_max)
+    qpc_set = {int(x) for x in qpc}
+    ckbar_pos = [i for i in range(N) if F[i] == 0 and i not in qpc_set]
+    assert len(ckbar_pos) == K
+
+    # PC forced bits: XOR of earlier data bits at positions == p (mod 5)
+    pc_sources = {}
+    for p in sorted(qpc_set):
+        pc_sources[p] = [q for q in ckbar_pos if q < p and q % 5 == p % 5]
+
+    crc_forced = {}  # u position -> (src u positions, crc column j)
+    deintl = None
+    if i_il:
+        deintl = input_deinterleave_table(K)
+        if force_crc:
+            A = K - crc_len
+            R = crc_ops._remainder_matrix(A, "24C")  # (A, 24)
+            for j in range(crc_len):
+                ck_idx = int(deintl[A + j])  # ckbar index of CRC bit j
+                p = ckbar_pos[ck_idx]
+                locs = np.where(R[:, j])[0]
+                src = [ckbar_pos[int(deintl[i])] for i in locs]
+                assert all(s < p for s in src), "distributed CRC violated"
+                crc_forced[p] = (src, j)
+
+    leaves = []
+    k = 0
+    for p in range(N):
+        if F[p] == 1:
+            leaves.append(("frozen",))
+        elif p in qpc_set:
+            leaves.append(("pc", pc_sources[p]))
+        elif p in crc_forced:
+            src, j = crc_forced[p]
+            leaves.append(("crc", src, j, k))
+            k += 1
+        else:
+            leaves.append(("data", k))
+            k += 1
+    assert k == K
+    return N, leaves, np.asarray(ckbar_pos, np.int32), deintl
+
+
+def _bitrev_perm(N: int) -> np.ndarray:
+    n = N.bit_length() - 1
+    out = np.zeros(N, np.int32)
+    for i in range(N):
+        out[i] = int(format(i, f"0{n}b")[::-1], 2)
+    return out
+
+
+def _f(a):
+    """min-sum f over adjacent pairs: (..., 2^l, 2) -> (..., 2^l)."""
+    a0, a1 = a[..., 0], a[..., 1]
+    return jnp.sign(a0) * jnp.sign(a1) * jnp.minimum(jnp.abs(a0), jnp.abs(a1))
+
+
+def _g(a, b_left):
+    a0, a1 = a[..., 0], a[..., 1]
+    return a1 + (1.0 - 2.0 * b_left.astype(a1.dtype)) * a0
+
+
+def polar_decode_scl(llr_in: jnp.ndarray, E: int, K: int, list_size: int,
+                     n_max: int, i_il: int, crc_len: int = 24,
+                     pad_crc: int = 0, rnti=0, force_crc: bool | None = None):
+    """Decode (B, N) LLRs -> (ck (B, K) int8, ok (B,) bool).
+
+    LLR convention: positive -> bit 0 (same as the reference).
+    `rnti` may be a python int or a traced int32 (PDCCH blind decode).
+    force_crc defaults to True for iIL=1 with list_size>1 (CA-SCL) and
+    False otherwise (plain SC / final-CRC-only).
+    """
+    if force_crc is None:
+        force_crc = bool(i_il) and list_size > 1
+    N, leaves, ckbar_pos, deintl = _decode_plan(
+        K, E, n_max, i_il, crc_len, pad_crc, force_crc)
+    n = N.bit_length() - 1
+    B = llr_in.shape[0]
+    L = list_size
+
+    mask_bits = _crc_mask_bits(K, crc_len, pad_crc, rnti)  # (..., crc_len)
+
+    # state
+    chan = llr_in.astype(jnp.float32)[:, jnp.asarray(_bitrev_perm(N))]
+    alphas = [None] * (n + 1)
+    alphas[n] = jnp.broadcast_to(chan[:, None, :], (B, L, N))
+    betas = [jnp.zeros((B, L, 1 << l), jnp.int8) for l in range(n + 1)]
+    u = jnp.zeros((B, L, N), jnp.int8)
+    pm = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.float32),
+         jnp.full((B, L - 1), _BIG, jnp.float32)], axis=1) if L > 1 else \
+        jnp.zeros((B, 1), jnp.float32)
+
+    def permute(arrs, sel):
+        out = []
+        for a in arrs:
+            idx = sel.reshape(sel.shape + (1,) * (a.ndim - 2))
+            out.append(jnp.take_along_axis(
+                a, jnp.broadcast_to(idx, sel.shape + a.shape[2:]), axis=1))
+        return out
+
+    for phi in range(N):
+        # --- LLR propagation down to the leaf ---
+        if phi == 0:
+            levels = range(n - 1, -1, -1)
+        else:
+            t = (phi & -phi).bit_length() - 1  # trailing zeros
+            a = alphas[t + 1].reshape(B, L, 1 << t, 2)
+            alphas[t] = _g(a, betas[t])
+            levels = range(t - 1, -1, -1)
+        for l in levels:
+            a = alphas[l + 1].reshape(B, L, 1 << l, 2)
+            alphas[l] = _f(a)
+        leaf = alphas[0][..., 0]  # (B, L)
+
+        kind = leaves[phi]
+        if kind[0] == "data":
+            pen = jnp.abs(leaf)
+            hard1 = (leaf < 0)
+            pm0 = pm + jnp.where(hard1, pen, 0.0)   # choose 0
+            pm1 = pm + jnp.where(hard1, 0.0, pen)   # choose 1
+            cand = jnp.concatenate([pm0, pm1], axis=1)       # (B, 2L)
+            if L > 1:
+                _, sel = jax.lax.top_k(-cand, L)             # (B, L)
+                parent = sel % L
+                bit = (sel // L).astype(jnp.int8)
+                alphas_live = [alphas[l] for l in range(1, n + 1)]
+                perm_in = alphas_live + betas + [u]
+                permd = permute(perm_in, parent)
+                for i, l in enumerate(range(1, n + 1)):
+                    alphas[l] = permd[i]
+                betas = permd[n: 2 * n + 1]
+                u = permd[-1]
+                pm = jnp.take_along_axis(cand, sel, axis=1)
+            else:
+                bit = hard1.astype(jnp.int8)
+                pm = jnp.where(hard1, pm1, pm0)
+        else:
+            if kind[0] == "frozen":
+                bit = jnp.zeros((B, L), jnp.int8)
+            else:
+                if kind[0] == "pc":
+                    src = kind[1]
+                    j = None
+                else:
+                    src, j = kind[1], kind[2]
+                if len(src):
+                    bit = (jnp.sum(u[..., jnp.asarray(np.asarray(src))]
+                                   .astype(jnp.int32), axis=-1) % 2
+                           ).astype(jnp.int8)
+                else:
+                    bit = jnp.zeros((B, L), jnp.int8)
+                if j is not None:
+                    mb = mask_bits[..., j]
+                    bit = jnp.bitwise_xor(
+                        bit, jnp.asarray(mb, jnp.int8).reshape(
+                            (-1, 1) if np.ndim(mb) else ()))
+            pen = jnp.where(bit.astype(bool), jnp.maximum(leaf, 0.0),
+                            jnp.maximum(-leaf, 0.0))
+            pm = pm + pen
+
+        u = u.at[..., phi].set(bit)
+
+        # --- partial-sum (beta) propagation up ---
+        cur = bit[..., None]
+        l = 0
+        ph = phi
+        while l < n:
+            if ph & 1:
+                left = betas[l]
+                comb = jnp.stack([jnp.bitwise_xor(left, cur), cur], axis=-1)
+                cur = comb.reshape(B, L, 1 << (l + 1))
+                l += 1
+                ph >>= 1
+            else:
+                betas[l] = cur
+                break
+
+    # --- final selection ---
+    ckbar = u[..., jnp.asarray(ckbar_pos)]          # (B, L, K)
+    ck = ckbar[..., jnp.asarray(deintl)] if i_il else ckbar
+
+    # CRC check each path (with rnti mask) and rank by path metric
+    poly = {6: "6", 11: "11", 24: "24C"}[crc_len]
+    if pad_crc:
+        ones = jnp.ones((B, L, 24), jnp.int8)
+        err = crc_ops.crc_check(jnp.concatenate([ones, ck], axis=-1), poly,
+                                _expand_rnti(rnti, (B, L)))
+    else:
+        err = crc_ops.crc_check(ck, poly, _expand_rnti(rnti, (B, L)))
+    ranked = pm + err.astype(jnp.float32) * _BIG
+    best = jnp.argmin(ranked, axis=1)               # (B,)
+    ck_best = jnp.take_along_axis(ck, best[:, None, None], axis=1)[:, 0]
+    ok = jnp.take_along_axis(err, best[:, None], axis=1)[:, 0] == 0
+    return ck_best, ok
+
+
+def _crc_mask_bits(K, crc_len, pad_crc, rnti):
+    """Reference gen_crc_mask: CRC of [1]*24+zeros over poly 24C w/ rnti."""
+    if not pad_crc:
+        return np.zeros(crc_len, np.int8)
+    A = K - crc_len
+    bits = np.concatenate([np.ones(24, np.int8), np.zeros(A, np.int8)])
+    if isinstance(rnti, (int, np.integer)):
+        return crc_ops.crc_compute_np(bits, "24C", int(rnti))
+    return crc_ops.crc_compute(jnp.asarray(bits), "24C", rnti)
+
+
+def _expand_rnti(rnti, shape):
+    if isinstance(rnti, (int, np.integer)):
+        return int(rnti)
+    return jnp.broadcast_to(jnp.asarray(rnti, jnp.int32).reshape(
+        (-1,) + (1,) * (len(shape) - 1)), shape)

@@ -1,0 +1,42 @@
+"""Test configuration: force an 8-virtual-device CPU mesh for all tests.
+
+Bench and production paths run on real TPU; tests validate numerics and
+multi-chip sharding on host CPU so they run anywhere.
+"""
+import os
+
+# The session environment pins JAX_PLATFORMS=axon (single real TPU chip)
+# and something re-appends it even when the env var is overridden, so we
+# must force the platform through jax.config. Tests run on a virtual
+# 8-device CPU mesh.
+_ON_TPU = os.environ.get("PY5G_TEST_ON_TPU") == "1"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import sys
+import pathlib
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+REFERENCE = pathlib.Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return REFERENCE.exists()
+
+
+def import_reference():
+    """Make the reference py5gphy importable (golden-vector generation)."""
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))

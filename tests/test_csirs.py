@@ -1,0 +1,94 @@
+"""CSI-RS rows 1-5 parity tests vs the reference."""
+import copy
+import json
+
+import numpy as np
+import pytest
+
+from tests.golden import get_golden
+
+from python_5gtoolbox_tpu.phy import csirs as csirs_mod
+from python_5gtoolbox_tpu.utils.config import get_default_config, merged
+from python_5gtoolbox_tpu.utils.numerology import carrier_prb_size
+
+
+CSIRS_CASES = [
+    # (row, ports, density, cdm, bitstring, nant, slot, startingRB, nrofRBs)
+    (1, 1, "three", "noCDM", "000000000001", 1, 0, 0, 24),
+    (1, 1, "three", "noCDM", "000000000100", 2, 0, 4, 48),
+    (2, 1, "one", "noCDM", "000000000001", 2, 0, 2, 24),
+    (2, 1, "dot5evenPRBs", "noCDM", "000000100000", 1, 0, 3, 48),
+    (2, 1, "dot5oddPRBs", "noCDM", "000000000010", 1, 0, 2, 48),
+    (3, 2, "one", "fd-CDM2", "000001", 2, 0, 0, 52),
+    (3, 2, "dot5oddPRBs", "fd-CDM2", "000100", 2, 0, 0, 48),
+    (4, 4, "one", "fd-CDM2", "001", 4, 0, 0, 24),
+    (5, 4, "one", "fd-CDM2", "000010", 4, 0, 5, 28),
+]
+
+
+def _mk_cfg(base, case):
+    row, ports, density, cdm, bits, nant, slot, rb0, nrb = case
+    cfg = copy.deepcopy(base)
+    cfg["frequencyDomainAllocation"]["row"] = row
+    cfg["frequencyDomainAllocation"]["bitstring"] = bits
+    cfg["nrofPorts"] = ports
+    cfg["density"] = density
+    cfg["cdm_type"] = cdm
+    cfg["startingRB"] = rb0
+    cfg["nrofRBs"] = nrb
+    return cfg
+
+
+def _gen_csirs_goldens():
+    from py5gphy.nr_csirs import nr_csirs
+    from py5gphy.common import nr_slot
+    with open("/root/reference/py5gphy/nr_default_config/"
+              "default_csirs_config.json") as f:
+        base = json.load(f)
+    with open("/root/reference/py5gphy/nr_default_config/"
+              "default_DL_carrier_config.json") as f:
+        carrier0 = json.load(f)
+    out = {}
+    for i, case in enumerate(CSIRS_CASES):
+        nant, slot = case[5], case[6]
+        cfg = _mk_cfg(base, case)
+        carrier = dict(carrier0, num_of_ant=nant, BW=40, scs=30)
+        ch = nr_csirs.NrCSIRS(carrier, cfg)
+        prb = nr_slot.get_carrier_prb_size(30, 40)
+        fd, usage = nr_slot.init_fd_slot(max(nant, case[1]), prb)
+        fd, usage = ch.process(fd, usage, 0, slot)
+        out[f"fd_{i}"], out[f"usage_{i}"] = fd, usage
+    return out
+
+
+@pytest.fixture(scope="module")
+def csirs_goldens():
+    return get_golden("csirs_slot", _gen_csirs_goldens)
+
+
+@pytest.mark.parametrize("i", range(len(CSIRS_CASES)))
+def test_csirs_slot(csirs_goldens, i):
+    case = CSIRS_CASES[i]
+    nant, slot = case[5], case[6]
+    cfg = _mk_cfg(get_default_config("csirs"), case)
+    carrier = merged(get_default_config("dl_carrier"),
+                     dict(num_of_ant=nant, BW=40, scs=30))
+    ch = csirs_mod.NrCSIRS(carrier, cfg)
+    prb = carrier_prb_size(30, 40)
+    n = max(nant, case[1])
+    fd = np.zeros((n, 14 * 12 * prb), np.complex64)
+    usage = np.zeros((n, 14 * 12 * prb), np.int8)
+    fd, usage = ch.process(fd, usage, 0, slot)
+    np.testing.assert_array_equal(usage, csirs_goldens[f"usage_{i}"])
+    np.testing.assert_allclose(fd, csirs_goldens[f"fd_{i}"], atol=2e-5)
+
+
+def test_csirs_inactive_slot():
+    cfg = get_default_config("csirs")
+    carrier = merged(get_default_config("dl_carrier"), dict(BW=40, scs=30))
+    ch = csirs_mod.NrCSIRS(carrier, cfg)
+    prb = carrier_prb_size(30, 40)
+    fd = np.zeros((1, 14 * 12 * prb), np.complex64)
+    usage = np.zeros((1, 14 * 12 * prb), np.int8)
+    fd, usage = ch.process(fd, usage, 0, 3)  # periodicity 20, offset 0
+    assert not np.abs(fd).any() and not usage.any()

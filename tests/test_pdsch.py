@@ -1,0 +1,191 @@
+"""PDSCH TX chain parity tests vs the reference."""
+import copy
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.golden import get_golden
+
+from python_5gtoolbox_tpu.phy import tbsize as T
+from python_5gtoolbox_tpu.phy import pdsch as pdsch_mod
+from python_5gtoolbox_tpu.utils.config import get_default_config, merged
+from python_5gtoolbox_tpu.utils.numerology import carrier_prb_size
+
+
+TBS_CASES = [
+    dict(mcs_table="64QAM", mcs_index=0, num_of_layers=1, NrOfSymbols=12,
+         RBSize=10, NumCDMGroupsWithoutData=2, DMRSAddPos=0),
+    dict(mcs_table="64QAM", mcs_index=3, num_of_layers=1, NrOfSymbols=12,
+         RBSize=10, NumCDMGroupsWithoutData=1, DMRSAddPos=0),
+    dict(mcs_table="64QAM", mcs_index=10, num_of_layers=2, NrOfSymbols=12,
+         RBSize=40, NumCDMGroupsWithoutData=2, DMRSAddPos=1),
+    dict(mcs_table="64QAM", mcs_index=18, num_of_layers=4, NrOfSymbols=12,
+         RBSize=100, NumCDMGroupsWithoutData=2, DMRSAddPos=2),
+    dict(mcs_table="256QAM", mcs_index=26, num_of_layers=4, NrOfSymbols=12,
+         RBSize=273, NumCDMGroupsWithoutData=2, DMRSAddPos=3),
+    dict(mcs_table="256QAM", mcs_index=27, num_of_layers=4, NrOfSymbols=12,
+         RBSize=273, NumCDMGroupsWithoutData=2, DMRSAddPos=0),
+    dict(mcs_table="64QAMLowSE", mcs_index=7, num_of_layers=2,
+         NrOfSymbols=10, RBSize=52, NumCDMGroupsWithoutData=2, DMRSAddPos=1),
+    dict(mcs_table="64QAM", mcs_index=18, num_of_layers=4, NrOfSymbols=12,
+         RBSize=20, NumCDMGroupsWithoutData=2, DMRSAddPos=2),
+]
+
+
+def _apply_case(cfg, case):
+    cfg = copy.deepcopy(cfg)
+    cfg["mcs_table"] = case["mcs_table"]
+    cfg["mcs_index"] = case["mcs_index"]
+    cfg["num_of_layers"] = case["num_of_layers"]
+    cfg["NrOfSymbols"] = case["NrOfSymbols"]
+    cfg["ResAlloType1"]["RBSize"] = case["RBSize"]
+    cfg["DMRS"]["NumCDMGroupsWithoutData"] = case["NumCDMGroupsWithoutData"]
+    cfg["DMRS"]["DMRSAddPos"] = case["DMRSAddPos"]
+    return cfg
+
+
+def _ref_pdsch_cfg():
+    with open("/root/reference/py5gphy/nr_default_config/"
+              "default_pdsch_config.json") as f:
+        return json.load(f)
+
+
+def _gen_tbs_goldens():
+    from py5gphy.nr_pdsch import dl_tbsize
+    base = _ref_pdsch_cfg()
+    out = {}
+    for i, case in enumerate(TBS_CASES):
+        cfg = _apply_case(base, case)
+        tbsize, qm, rate = dl_tbsize.gen_tbsize(cfg)
+        lbrm = dl_tbsize.gen_TBS_LBRM(cfg, 273, 4)
+        out[f"tbs_{i}"] = np.array([tbsize, qm, rate * 2, lbrm])
+    return out
+
+
+@pytest.fixture(scope="module")
+def tbs_goldens():
+    return get_golden("pdsch_tbs", _gen_tbs_goldens)
+
+
+@pytest.mark.parametrize("i", range(len(TBS_CASES)))
+def test_tbsize(tbs_goldens, i):
+    cfg = _apply_case(get_default_config("pdsch"), TBS_CASES[i])
+    tbsize, qm, rate = T.gen_tbsize(cfg)
+    lbrm = T.gen_tbs_lbrm(cfg, 273, 4)
+    np.testing.assert_array_equal(
+        np.array([tbsize, qm, rate * 2, lbrm]), tbs_goldens[f"tbs_{i}"])
+
+
+# Keep TBS small: the *reference* LDPC encoder is extremely slow (dense
+# lifted H built per code block), so goldens use cases with few CBs.
+DLSCH_CASES = [
+    # (tbsize-case idx, rv, G scale)
+    (0, 0, 1.0), (1, 2, 1.2), (2, 0, 0.8), (6, 3, 1.0),
+]
+
+
+def _gen_dlsch_goldens():
+    from py5gphy.nr_pdsch import nr_dlsch, dl_tbsize
+    rng = np.random.default_rng(123)
+    base = _ref_pdsch_cfg()
+    out = {}
+    for i, (ci, rv, gs) in enumerate(DLSCH_CASES):
+        cfg = _apply_case(base, TBS_CASES[ci])
+        tbsize, qm, rate = dl_tbsize.gen_tbsize(cfg)
+        lbrm = dl_tbsize.gen_TBS_LBRM(cfg, 273, 4)
+        layers = cfg["num_of_layers"]
+        G = int(tbsize / (rate / 1024) * gs)
+        G = (G // (qm * layers)) * (qm * layers)
+        trblk = rng.integers(0, 2, tbsize).astype("i1")
+        g_seq = nr_dlsch.DLSCHEncode(trblk, tbsize, qm, rate, layers, rv,
+                                     lbrm, G)
+        out[f"trblk_{i}"], out[f"g_{i}"] = trblk, g_seq
+        out[f"meta_{i}"] = np.array([tbsize, qm, rate * 2, layers, rv, lbrm, G])
+    return out
+
+
+@pytest.fixture(scope="module")
+def dlsch_goldens():
+    return get_golden("pdsch_dlsch", _gen_dlsch_goldens)
+
+
+@pytest.mark.parametrize("i", range(len(DLSCH_CASES)))
+def test_dlsch_encode(dlsch_goldens, i):
+    meta = dlsch_goldens[f"meta_{i}"]
+    tbsize, qm, rate2, layers, rv, lbrm, G = [int(x) for x in meta]
+    rate = rate2 / 2
+    g = np.asarray(pdsch_mod.dlsch_encode(
+        jnp.asarray(dlsch_goldens[f"trblk_{i}"]), tbsize, qm, rate, layers,
+        rv, lbrm, G))
+    np.testing.assert_array_equal(g, dlsch_goldens[f"g_{i}"])
+
+
+# ---------------------------------------------------------------------------
+# Full Pdsch slot processing vs reference (with SSB coexistence)
+# ---------------------------------------------------------------------------
+
+PDSCH_SLOT_CASES = [
+    # (case idx into TBS_CASES, with_ssb, num_of_ant, slot)
+    (0, False, 1, 0),
+    (2, False, 2, 1),
+    (7, True, 4, 0),
+]
+
+
+def _gen_pdsch_slot_goldens():
+    from py5gphy.nr_pdsch import nr_pdsch
+    from py5gphy.nr_ssb import nr_ssb
+    from py5gphy.common import nr_slot
+    base = _ref_pdsch_cfg()
+    with open("/root/reference/py5gphy/nr_default_config/"
+              "default_DL_carrier_config.json") as f:
+        carrier0 = json.load(f)
+    with open("/root/reference/py5gphy/nr_default_config/"
+              "default_ssb_config.json") as f:
+        ssb0 = json.load(f)
+    out = {}
+    for i, (ci, with_ssb, nant, slot) in enumerate(PDSCH_SLOT_CASES):
+        cfg = _apply_case(base, TBS_CASES[ci])
+        cfg["ResAlloType1"]["RBSize"] = min(cfg["ResAlloType1"]["RBSize"], 106)
+        cfg["data_source"] = [1, 0, 0, 1]
+        cfg["precoding_matrix"] = np.array(cfg["precoding_matrix"])
+        carrier = dict(carrier0, num_of_ant=nant, maxMIMO_layers=4, BW=40,
+                       scs=30)
+        prb = nr_slot.get_carrier_prb_size(30, 40)
+        fd, usage = nr_slot.init_fd_slot(nant, prb)
+        if with_ssb:
+            nrssb = nr_ssb.NrSSB(carrier, ssb0)
+            fd, usage = nrssb.process(fd, usage, 0, slot)
+        ch = nr_pdsch.Pdsch(copy.deepcopy(cfg), carrier)
+        fd, usage = ch.process(fd, usage, slot)
+        out[f"fd_{i}"], out[f"usage_{i}"] = fd, usage
+    return out
+
+
+@pytest.fixture(scope="module")
+def pdsch_slot_goldens():
+    return get_golden("pdsch_slot", _gen_pdsch_slot_goldens)
+
+
+@pytest.mark.parametrize("i", range(len(PDSCH_SLOT_CASES)))
+def test_pdsch_slot(pdsch_slot_goldens, i):
+    from python_5gtoolbox_tpu.phy.ssb import NrSSB
+    ci, with_ssb, nant, slot = PDSCH_SLOT_CASES[i]
+    cfg = _apply_case(get_default_config("pdsch"), TBS_CASES[ci])
+    cfg["ResAlloType1"]["RBSize"] = min(cfg["ResAlloType1"]["RBSize"], 106)
+    cfg["data_source"] = [1, 0, 0, 1]
+    carrier = merged(get_default_config("dl_carrier"),
+                     dict(num_of_ant=nant, maxMIMO_layers=4, BW=40, scs=30))
+    prb = carrier_prb_size(30, 40)
+    fd = np.zeros((nant, 14 * 12 * prb), np.complex64)
+    usage = np.zeros((nant, 14 * 12 * prb), np.int8)
+    if with_ssb:
+        ssb = NrSSB(carrier, get_default_config("ssb"))
+        fd, usage = ssb.process(fd, usage, 0, slot)
+    ch = pdsch_mod.Pdsch(cfg, carrier)
+    fd, usage = ch.process(fd, usage, slot)
+    np.testing.assert_array_equal(usage, pdsch_slot_goldens[f"usage_{i}"])
+    np.testing.assert_allclose(fd, pdsch_slot_goldens[f"fd_{i}"], atol=3e-5)
