@@ -101,16 +101,32 @@ def hb_upsample2(x: jnp.ndarray, taps: np.ndarray | None = None) -> jnp.ndarray:
 
 
 def hb_downsample2(x: jnp.ndarray, taps: np.ndarray | None = None) -> jnp.ndarray:
-    """Halfband decimation-by-2 with sqrt(2) gain (rx chain stage).
+    """upfirdn(h, x, down=2)[(n+1)//4 : (n+1)//4 + T//2] * sqrt(2).
 
-    Mirrors rx_lowphy_process.HB_channel_filter: filter at full rate with
-    a centered window then keep even samples.
+    Exact offset convention of the reference's halfband DDC stage
+    (rx_lowphy_process.py:124-133): y[k] = fullconv[2k + 2*(n+1)//4].
     """
     if taps is None:
         taps = halfband_coeff()
     n = len(taps)
-    y = _conv1d(x, taps, (n // 2, n - 1 - n // 2), stride=2)
+    shift = 2 * ((n + 1) // 4)
+    pl = (n - 1) - shift
+    pr = shift - 1
+    y = _conv1d(x, taps, (pl, pr), stride=2)
     return y * np.float32(np.sqrt(2))
+
+
+def rx_channel_filter(rx: jnp.ndarray, scs: int, bw: int,
+                      in_rate_hz: float) -> jnp.ndarray:
+    """DDC: halfband /2 stages then FIR at carrier rate (rx_lowphy:100-164)."""
+    prb = num.carrier_prb_size(scs, bw)
+    fs_out = num.fft_size(prb) * scs * 1000
+    oversample = int(round(in_rate_hz / fs_out))
+    assert 2 ** int(np.log2(oversample)) == oversample
+    y = rx
+    for _ in range(int(np.log2(oversample))):
+        y = hb_downsample2(y)
+    return fir_same(y, fir_coeff(scs, bw))
 
 
 def tx_channel_filter(td: jnp.ndarray, scs: int, bw: int,

@@ -76,7 +76,8 @@ def _check_node_bp(lq, alpha, beta):
     t = jnp.tanh(lq / 2.0)
     sign = jnp.sign(t)
     mag = jnp.abs(t)
-    logm = jnp.log(jnp.maximum(mag, 1e-38))
+    # floor must stay above the f32 denormal range (flushed to zero on TPU)
+    logm = jnp.log(jnp.maximum(mag, 1e-30))
     sum_log = jnp.sum(logm, axis=1, keepdims=True)
     excl_mag = jnp.exp(sum_log - logm)
     nzero = jnp.sum((sign == 0).astype(jnp.int32), axis=1, keepdims=True)

@@ -263,6 +263,14 @@ class Pdsch:
         return fd_slot
 
 
+def _attach_rx_methods():
+    """Attach the receive path (phy/pdsch_rx.py) to Pdsch."""
+    from python_5gtoolbox_tpu.phy import pdsch_rx
+
+    Pdsch.H_LS_est = pdsch_rx.PdschRxMixin.H_LS_est
+    Pdsch.RX_process = pdsch_rx.PdschRxMixin.RX_process
+
+
 def get_dmrs_symlist(ld: int, add_pos: int) -> list[int]:
     """DM-RS symbol positions, 38.211 Table 7.4.1.1.2-3 (type A, l0=2)."""
     if ld <= 7:
@@ -274,3 +282,6 @@ def get_dmrs_symlist(ld: int, add_pos: int) -> list[int]:
     if ld == 12:
         return {0: [2], 1: [2, 9], 2: [2, 6, 9]}.get(add_pos, [2, 5, 8, 11])
     return {0: [2], 1: [2, 11], 2: [2, 7, 11], 3: [2, 5, 8, 11]}[add_pos]
+
+
+_attach_rx_methods()

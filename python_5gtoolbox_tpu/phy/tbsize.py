@@ -129,17 +129,51 @@ def gen_tbs_lbrm(pdsch_config: dict, carrier_prb_size: int,
     return _tbs_from_ninfo(ninfo, rate)
 
 
-def ulsch_tbsize(pusch_config: dict):
-    """(TBSize, Qm, coderateby1024) for PUSCH, 38.214 6.1.4 (same core).
+# 38.214 Tables 6.1.4.1-1 / 6.1.4.1-2 (UL with optional pi/2-BPSK q).
+MCS_TABLE_61411 = [
+    (1, 240), (1, 314), (2, 193), (2, 251), (2, 308), (2, 379), (2, 449),
+    (2, 526), (2, 602), (2, 679), (4, 340), (4, 378), (4, 434), (4, 490),
+    (4, 553), (4, 616), (4, 658), (6, 466), (6, 517), (6, 567), (6, 616),
+    (6, 666), (6, 719), (6, 772), (6, 822), (6, 873), (6, 910), (6, 948),
+]
+MCS_TABLE_61412 = [
+    (1, 60), (1, 80), (1, 100), (1, 128), (1, 156), (1, 198), (2, 120),
+    (2, 157), (2, 193), (2, 251), (2, 308), (2, 379), (2, 449), (2, 526),
+    (2, 602), (2, 679), (4, 378), (4, 434), (4, 490), (4, 553), (4, 616),
+    (4, 658), (4, 699), (4, 772), (6, 567), (6, 616), (6, 666), (6, 772),
+]
 
-    Mirrors py5gphy/nr_pusch/ul_tbsize.py.
+
+def ul_mcs_to_qm_rate(mcs_table: str, mcs_index: int, n_tp_pi2bpsk: int):
+    """UL Qm/coderate, 38.214 6.1.4.1 (mirrors ul_tbsize._get_Qm_coderate)."""
+    q = 2 - n_tp_pi2bpsk
+    if mcs_table == "MCStable61411":
+        qm, rate = MCS_TABLE_61411[mcs_index]
+        if mcs_index <= 1:
+            qm, rate = qm * q, int(rate / q)
+        return qm, rate
+    if mcs_table == "MCStable61412":
+        qm, rate = MCS_TABLE_61412[mcs_index]
+        if mcs_index <= 5:
+            qm, rate = qm * q, int(rate / q)
+        return qm, rate
+    if mcs_table.upper() in ("256QAM", "64QAMLOWSE"):
+        return MCS_TABLES[mcs_table.upper()][mcs_index]
+    raise NameError("wrong mcs table")
+
+
+def ulsch_tbsize(pusch_config: dict):
+    """(TBSize, Qm, coderateby1024) for PUSCH, 38.214 6.1.4.
+
+    Mirrors py5gphy/nr_pusch/ul_tbsize.py (note: it passes NrOfSymbols,
+    not StartSymbolIndex+NrOfSymbols, as the DMRS duration Ld).
     """
-    ld = pusch_config["StartSymbolIndex"] + pusch_config["NrOfSymbols"]
     nprb = pusch_config["ResAlloType1"]["RBSize"]
-    qm, rate = mcs_to_qm_rate(pusch_config["mcs_table"],
-                              pusch_config["mcs_index"])
+    qm, rate = ul_mcs_to_qm_rate(pusch_config["mcs_table"],
+                                 pusch_config["mcs_index"],
+                                 pusch_config.get("nTpPi2BPSK", 0))
     nre_bar = 12 * pusch_config["NrOfSymbols"] - _nprb_dmrs(
-        pusch_config["DMRS"], ld)
+        pusch_config["DMRS"], pusch_config["NrOfSymbols"])
     nre = min(156, nre_bar) * nprb
     ninfo = nre * rate / 1024 * qm * pusch_config["num_of_layers"]
     return _tbs_from_ninfo(ninfo, rate), qm, rate

@@ -1,0 +1,58 @@
+"""Uplink waveform orchestration.
+
+Behavior parity target: py5gphy/nr_waveform/nr_ul_waveform.py:15-103 —
+per-slot PUSCH/PUCCH0-4/SRS composition, batched Tx low-PHY, slot phase
+compensation, channel filter. Same batched-device design as waveform/dl.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from python_5gtoolbox_tpu.ops import filters, ofdm
+from python_5gtoolbox_tpu.utils import numerology as num
+from python_5gtoolbox_tpu.waveform.dl import _slot_phase
+
+
+def gen_ul_waveform(waveform_config: dict, carrier_config: dict,
+                    nrPusch_list=(), nrSrs_list=(),
+                    nrPucchFormat0_list=(), nrPucchFormat1_list=(),
+                    nrPucchFormat2_list=(), nrPucchFormat3_list=(),
+                    nrPucchFormat4_list=()):
+    """Returns (fd_waveform, td_waveform, ul_waveform)."""
+    n_slots = waveform_config["numofslots"]
+    start_sfn = waveform_config["startSFN"]
+    start_slot = waveform_config["startslot"]
+    out_rate_hz = waveform_config["samplerate_in_mhz"] * 1e6
+
+    nant = carrier_config["num_of_ant"]
+    fc_hz = int(carrier_config["carrier_frequency_in_mhz"] * 1e6)
+    scs, bw = carrier_config["scs"], carrier_config["BW"]
+    prb = num.carrier_prb_size(scs, bw)
+    n_sc = 12 * prb
+    slots_per_frame = num.slots_per_frame(scs)
+
+    grids = np.zeros((n_slots, nant, 14 * n_sc), np.complex64)
+    usages = np.zeros((n_slots, nant, 14 * n_sc), np.int8)
+    for idx in range(n_slots):
+        sfn = start_sfn + (start_slot + idx) // slots_per_frame
+        slot = (start_slot + idx) % slots_per_frame
+        fd, use = grids[idx], usages[idx]
+        for ch in nrPusch_list:
+            fd, use = ch.process(fd, use, slot)
+        for group in (nrPucchFormat0_list, nrPucchFormat1_list,
+                      nrPucchFormat2_list, nrPucchFormat3_list,
+                      nrPucchFormat4_list):
+            for ch in group:
+                fd, use = ch.process(fd, use, sfn, slot)
+        for ch in nrSrs_list:
+            fd, use = ch.process(fd, use, sfn, slot)
+        grids[idx], usages[idx] = fd, use
+
+    fd_batched = grids.reshape(n_slots, nant, 14, n_sc)
+    td = ofdm.tx_low_phy(jnp.asarray(fd_batched), scs, bw, fc_hz)
+    td = td * jnp.asarray(_slot_phase(scs, fc_hz, n_slots))[:, None, None]
+    td_flat = jnp.swapaxes(td, 0, 1).reshape(nant, -1)
+    ul = filters.tx_channel_filter(td_flat, scs, bw, out_rate_hz)
+    fd_waveform = grids.transpose(1, 0, 2).reshape(nant, -1)
+    return fd_waveform, np.asarray(td_flat), np.asarray(ul)

@@ -73,6 +73,7 @@ def _mk_cfgs(cfgs, case, for_ref):
     else:
         coreset["frequencyDomainResources"] = [1] * 17 + [0] * 28
     ss = copy.deepcopy(cfgs["ss"])
+    ss["NrofCandidatesPerAggregationLevel"] = [4, 4, 2, 1, 0]
     pd = copy.deepcopy(cfgs["pdcch"])
     pd["AggregationLevel"] = agg
     pd["AllocatedCandidate"] = cand

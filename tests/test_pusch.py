@@ -1,0 +1,113 @@
+"""PUSCH TX chain parity tests vs the reference."""
+import copy
+import json
+
+import numpy as np
+import pytest
+
+from tests.golden import get_golden
+
+from python_5gtoolbox_tpu.phy import pusch as pusch_mod
+from python_5gtoolbox_tpu.phy import tbsize as tbs_mod
+from python_5gtoolbox_tpu.utils.config import get_default_config, merged
+from python_5gtoolbox_tpu.utils.numerology import carrier_prb_size
+
+
+def _ref_pusch_cfg():
+    with open("/root/reference/py5gphy/nr_default_config/"
+              "default_pusch_config.json") as f:
+        cfg = json.load(f)
+    # the reference default config stores NID0/NID1 as strings, which
+    # crashes its own DMRS path; normalize like its tests do
+    cfg["DMRS"]["transformPrecodingDisabled"]["NID0"] = 1
+    cfg["DMRS"]["transformPrecodingDisabled"]["NID1"] = 1
+    return cfg
+
+
+# (mcs_table, mcs_idx, layers, nports, nPMI, RBSize, transprecode, uci dict)
+PUSCH_CASES = [
+    ("256QAM", 20, 1, 1, 0, 24, 0, {}),
+    ("256QAM", 5, 1, 2, 3, 51, 0, {}),
+    ("MCStable61411", 10, 2, 2, 1, 24, 0, {}),
+    ("MCStable61411", 2, 1, 1, 0, 24, 1, {}),   # DFT-s-OFDM
+    ("256QAM", 10, 1, 1, 0, 24, 0,
+     dict(EnableACK=1, NumACKBits=2, ACKbits=[1, 0])),
+    ("256QAM", 10, 1, 1, 0, 24, 0,
+     dict(EnableACK=1, NumACKBits=5, ACKbits=[1, 0, 1, 1, 0],
+          EnableCSI1=1, NumCSI1Bits=4, CSI1bits=[1, 1, 0, 1])),
+    ("256QAM", 12, 1, 1, 0, 48, 0,
+     dict(EnableACK=1, NumACKBits=14,
+          ACKbits=[1, 0, 1, 1, 0, 0, 1, 0, 1, 1, 1, 0, 0, 1],
+          EnableCSI1=1, NumCSI1Bits=25,
+          CSI1bits=[1, 0] * 12 + [1],
+          EnableCSI2=1, NumCSI2Bits=4, CSI2bits=[0, 1, 1, 0])),
+]
+
+
+def _mk_cfg(base, case):
+    table, idx, layers, ports, npmi, rb, tp, uci = case
+    cfg = copy.deepcopy(base)
+    cfg["mcs_table"] = table
+    cfg["mcs_index"] = idx
+    cfg["num_of_layers"] = layers
+    cfg["nNrOfAntennaPorts"] = ports
+    cfg["nPMI"] = npmi
+    cfg["ResAlloType1"]["RBSize"] = rb
+    cfg["nTransPrecode"] = tp
+    cfg["data_source"] = [1, 0, 0, 1, 1, 0]
+    for k, v in uci.items():
+        cfg[k] = v
+    return cfg
+
+
+def _gen_pusch_goldens():
+    from py5gphy.nr_pusch import nr_pusch, ul_tbsize
+    from py5gphy.common import nr_slot
+    with open("/root/reference/py5gphy/nr_default_config/"
+              "default_UL_carrier_config.json") as f:
+        carrier0 = json.load(f)
+    base = _ref_pusch_cfg()
+    out = {}
+    for i, case in enumerate(PUSCH_CASES):
+        cfg = _mk_cfg(base, case)
+        # the reference requires UCI bit fields as numpy arrays
+        for key in ("ACKbits", "CSI1bits", "CSI2bits"):
+            cfg[key] = np.asarray(cfg[key], "i1")
+        tbsize, qm, rate = ul_tbsize.gen_tbsize(cfg)
+        out[f"tbs_{i}"] = np.array([tbsize, qm, rate])
+        carrier = dict(carrier0, BW=40, scs=30,
+                       num_of_ant=case[3], Nr=case[3])
+        ch = nr_pusch.NrPUSCH(carrier, copy.deepcopy(cfg))
+        prb = nr_slot.get_carrier_prb_size(30, 40)
+        fd, usage = nr_slot.init_fd_slot(case[3], prb)
+        fd, usage = ch.process(fd, usage, 0)
+        out[f"fd_{i}"], out[f"usage_{i}"] = fd, usage
+    return out
+
+
+@pytest.fixture(scope="module")
+def pusch_goldens():
+    return get_golden("pusch_slot", _gen_pusch_goldens)
+
+
+@pytest.mark.parametrize("i", range(len(PUSCH_CASES)))
+def test_ul_tbsize(pusch_goldens, i):
+    cfg = _mk_cfg(get_default_config("pusch"), PUSCH_CASES[i])
+    tbsize, qm, rate = tbs_mod.ulsch_tbsize(cfg)
+    np.testing.assert_array_equal(np.array([tbsize, qm, rate]),
+                                  pusch_goldens[f"tbs_{i}"])
+
+
+@pytest.mark.parametrize("i", range(len(PUSCH_CASES)))
+def test_pusch_slot(pusch_goldens, i):
+    case = PUSCH_CASES[i]
+    cfg = _mk_cfg(get_default_config("pusch"), case)
+    carrier = merged(get_default_config("ul_carrier"),
+                     dict(BW=40, scs=30, num_of_ant=case[3], Nr=case[3]))
+    ch = pusch_mod.NrPUSCH(carrier, cfg)
+    prb = carrier_prb_size(30, 40)
+    fd = np.zeros((case[3], 14 * 12 * prb), np.complex64)
+    usage = np.zeros((case[3], 14 * 12 * prb), np.int8)
+    fd, usage = ch.process(fd, usage, 0)
+    np.testing.assert_array_equal(usage, pusch_goldens[f"usage_{i}"])
+    np.testing.assert_allclose(fd, pusch_goldens[f"fd_{i}"], atol=3e-5)

@@ -57,3 +57,13 @@ if __name__ == "__main__":
     extract_ldpc_bg()
     extract_polar_reliability()
     extract_lowpapr_phi()
+
+
+def extract_srs_bw_table():
+    """38.211 Table 6.4.1.4.3-1 SRS bandwidth configurations (64 rows)."""
+    sys.path.insert(0, str(REF))
+    from py5gphy.nr_srs import nr_srs_tables
+
+    rows = [nr_srs_tables.get_srs_bw_config(c) for c in range(64)]
+    np.savez_compressed(OUT / "srs_bw_config.npz",
+                        table=np.asarray(rows, np.int32))
