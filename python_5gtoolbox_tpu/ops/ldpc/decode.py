@@ -99,7 +99,17 @@ def ldpc_decode(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
 
     Returns (bits (B, K) int8, ok (B,) bool, full_bits (B, ncols*Zc)).
     The 2*Zc punctured systematic LLRs are internally re-inserted as 0.
+
+    Jitted entry: (zc, bgn, n_iter, algo) are compile-time; alpha/beta
+    stay traced so the NMS/OMS hyper-parameter sweeps reuse one
+    executable per shape.
     """
+    return _ldpc_decode_jit(llr_in, jnp.float32(alpha), jnp.float32(beta),
+                            zc=zc, bgn=bgn, n_iter=n_iter, algo=algo)
+
+
+@functools.partial(jax.jit, static_argnames=("zc", "bgn", "n_iter", "algo"))
+def _ldpc_decode_jit(llr_in, alpha, beta, *, zc, bgn, n_iter, algo):
     rows, nrows, ncols = _graph(bgn, zc)
     B = llr_in.shape[0]
     K = (22 if bgn == 1 else 10) * zc
@@ -174,3 +184,54 @@ def ldpc_decode(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
 
     full = out_bits.reshape(B, ncols * zc).astype(jnp.int8)
     return full[:, :K], ok, full
+
+
+def ldpc_decode_bf(llr_full: jnp.ndarray, zc: int, bgn: int, n_iter: int):
+    """Hard-decision bit-flipping decoder over the FULL codeword.
+
+    Behavior parity target: py5gphy/ldpc/ldpc_decoder_bit_flipping.py:5 —
+    syndrome, En = (2S-1) @ H accumulation, flip all bits at max(En),
+    early exit on zero syndrome. llr_full: (B, ncols*Zc) (unpunctured).
+    Returns (bits (B, ncols*Zc) int8, ok (B,) bool). Runs on the lifted
+    graph (static rolls), never materializing the dense H.
+    """
+    return _ldpc_decode_bf_jit(llr_full, zc=zc, bgn=bgn, n_iter=n_iter)
+
+
+@functools.partial(jax.jit, static_argnames=("zc", "bgn", "n_iter"))
+def _ldpc_decode_bf_jit(llr_full, *, zc, bgn, n_iter):
+    rows, nrows, ncols = _graph(bgn, zc)
+    B = llr_full.shape[0]
+    bits0 = (llr_full < 0).astype(jnp.int8).reshape(B, ncols, zc)
+
+    def syndrome(bits):
+        s = []
+        b32 = bits.astype(jnp.int32)
+        for edges in rows:
+            acc = None
+            for c, p in edges:
+                v = _fwd(b32[:, c], p)
+                acc = v if acc is None else acc + v
+            s.append(acc % 2)
+        return jnp.stack(s, axis=1)  # (B, nrows, Zc)
+
+    def body(carry, _):
+        bits, done = carry
+        s = syndrome(bits)
+        ok = jnp.all(s.reshape(B, -1) == 0, axis=-1)
+        done = done | ok
+        e = 2 * s - 1
+        en = [jnp.zeros((B, zc), jnp.int32) for _ in range(ncols)]
+        for r, edges in enumerate(rows):
+            for c, p in edges:
+                en[c] = en[c] + _bwd(e[:, r], p)
+        en = jnp.stack(en, axis=1)                     # (B, ncols, Zc)
+        mx = jnp.max(en.reshape(B, -1), axis=-1)[:, None, None]
+        flipped = jnp.where(en == mx, 1 - bits, bits).astype(jnp.int8)
+        bits = jnp.where(done[:, None, None], bits, flipped)
+        return (bits, done), None
+
+    (bits_f, done_f), _ = jax.lax.scan(body, (bits0, jnp.zeros((B,), bool)),
+                                       None, length=n_iter)
+    ok = done_f | jnp.all(syndrome(bits_f).reshape(B, -1) == 0, axis=-1)
+    return bits_f.reshape(B, -1), ok

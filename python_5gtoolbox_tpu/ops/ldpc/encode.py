@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,6 +87,7 @@ def _roll(x, shift):
     return jnp.roll(x, -shift, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("bgn",))
 def ldpc_encode(ck: jnp.ndarray, bgn: int) -> jnp.ndarray:
     """Encode (C, K) systematic bits -> (C, N) rate-2Zc-punctured codeword.
 

@@ -118,9 +118,23 @@ def polar_decode_scl(llr_in: jnp.ndarray, E: int, K: int, list_size: int,
     `rnti` may be a python int or a traced int32 (PDCCH blind decode).
     force_crc defaults to True for iIL=1 with list_size>1 (CA-SCL) and
     False otherwise (plain SC / final-CRC-only).
+
+    Jitted entry (one executable per (shape, code config) — the unrolled
+    leaf schedule would otherwise spray thousands of tiny eager ops).
     """
     if force_crc is None:
         force_crc = bool(i_il) and list_size > 1
+    return _scl_jit(llr_in, jnp.asarray(rnti, jnp.int32), E=E, K=K,
+                    list_size=list_size, n_max=n_max, i_il=int(i_il),
+                    crc_len=crc_len, pad_crc=pad_crc,
+                    force_crc=bool(force_crc))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "E", "K", "list_size", "n_max", "i_il", "crc_len", "pad_crc",
+    "force_crc"))
+def _scl_jit(llr_in, rnti, *, E, K, list_size, n_max, i_il, crc_len,
+             pad_crc, force_crc):
     N, leaves, ckbar_pos, deintl = _decode_plan(
         K, E, n_max, i_il, crc_len, pad_crc, force_crc)
     n = N.bit_length() - 1

@@ -158,7 +158,8 @@ def _dmrs_seq_tp(n_pusch_id, hopping, size, slot, sym):
 
 
 class NrPUSCH:
-    """PUSCH channel object (TX), reference process() protocol."""
+    """PUSCH channel object (TX + RX), reference process() protocol.
+    RX methods are attached from phy/pusch_rx.py at import time."""
 
     def __init__(self, carrier_config: dict, pusch_config: dict):
         self.carrier = carrier_config
@@ -314,3 +315,14 @@ class NrPUSCH:
                 seg[:, mask] = precoded[:, off: off + n]
                 off += n
         return fd_slot
+
+
+def _attach_rx_methods():
+    """Attach the receive path (phy/pusch_rx.py) to NrPUSCH."""
+    from python_5gtoolbox_tpu.phy import pusch_rx
+
+    NrPUSCH.H_LS_est = pusch_rx.PuschRxMixin.H_LS_est
+    NrPUSCH.RX_process = pusch_rx.PuschRxMixin.RX_process
+
+
+_attach_rx_methods()

@@ -1,0 +1,391 @@
+"""PUSCH receive path: LS estimation, equalize+demod, data/control
+de-multiplex, UCI decode and ULSCH decode.
+
+Behavior parity targets:
+  py5gphy/nr_pusch/nrpusch_resource_mapping.py:74 (copy_Rx_pusch_resource)
+  py5gphy/nr_pusch/nr_pusch_dmrs.py:107          (pusch_dmrs_LS_est)
+  py5gphy/nr_pusch/nr_pusch_datactrl_multiplex.py:269
+                                                 (data_control_separate)
+  py5gphy/nr_pusch/nr_ulsch_decode.py:13         (ULSCH_decoding: rate
+      recover, HARQ combine, LDPC decode, CB/TB CRC; Ncb=N — no LBRM on UL)
+  py5gphy/nr_pusch/nr_pusch_uci_decode.py:19     (ULSCHandUCIDecodeProcess)
+  py5gphy/nr_pusch/nr_pusch.py:116-216           (RX_process incl. the
+      transform-precoding de-precode + re-demodulate branch)
+
+Beyond-reference: the reference decodes only ULSCH and leaves UCI
+payload decoding as a TODO (nr_pusch_uci_decode.py:57 "will add UCI bit
+processing later"). Here ACK/CSI1/CSI2 are actually decoded: small-block
+ML correlation (<=11 bits, placeholder-aware for 1-2 bits) or CA-SCL
+polar (>=12 bits) — all batched TPU paths.
+
+TPU design: the per-RE equalization double loop collapses into one
+batched call; the de-multiplex walk is executed once per config to yield
+static gather maps (device side is pure `take`).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from python_5gtoolbox_tpu.ops import crc as crc_ops
+from python_5gtoolbox_tpu.ops import ldpc as ldpc_ops
+from python_5gtoolbox_tpu.ops import polar as polar_ops
+from python_5gtoolbox_tpu.ops import smallblock as sb_ops
+from python_5gtoolbox_tpu.ops.polar.segment import polar_cb_segment
+from python_5gtoolbox_tpu.ops.prbs import gen_prbs_np
+from python_5gtoolbox_tpu.phy import tbsize as tbs_mod
+from python_5gtoolbox_tpu.phy.pusch import (
+    _dmrs_seq_no_tp, _dmrs_seq_tp, get_precoding_matrix, pusch_dmrs_symlist,
+    ulsch_crc_segment)
+from python_5gtoolbox_tpu.phy.pusch_uci import (
+    data_control_multiplex, get_ulsch_rm_info)
+from python_5gtoolbox_tpu.rx.demod import demodulate
+from python_5gtoolbox_tpu.rx.equalize import channel_equ_and_demod
+
+_MODTYPE = {1: "pi/2-bpsk", 2: "qpsk", 4: "16qam", 6: "64qam", 8: "256qam",
+            10: "1024qam"}
+
+
+def copy_rx_pusch_resource(rx_fd_slot: np.ndarray, pusch_config: dict):
+    """-> (pusch_resource (nsym, RB*12, Nr), pusch_RE_usage (nsym, RB*12))
+    with usage 1 marking DMRS / DMRS-reserved REs."""
+    cfg = pusch_config
+    rb_start = cfg["ResAlloType1"]["RBStart"]
+    rb_size = cfg["ResAlloType1"]["RBSize"]
+    ssi, nsym = cfg["StartSymbolIndex"], cfg["NrOfSymbols"]
+    symlist = pusch_dmrs_symlist(ssi + nsym, cfg["DMRS"]["DMRSAddPos"])
+    ports = cfg["PortIndexList"][: cfg["num_of_layers"]]
+    if cfg["DMRS"]["NumCDMGroupsWithoutData"] == 2:
+        dmrs_map = np.ones(12, np.int8)
+    else:
+        dmrs_map = np.zeros(12, np.int8)
+        if 1000 in ports or 1001 in ports:
+            dmrs_map[0::2] = 1
+        if 1002 in ports or 1003 in ports:
+            dmrs_map[1::2] = 1
+    n_sc = rx_fd_slot.shape[1] // 14
+    nr = rx_fd_slot.shape[0]
+    res = np.zeros((nsym, rb_size * 12, nr), np.complex64)
+    usage = np.zeros((nsym, rb_size * 12), np.int8)
+    for sym in range(ssi, ssi + nsym):
+        start = sym * n_sc + rb_start * 12
+        res[sym - ssi] = rx_fd_slot[:, start: start + rb_size * 12].T
+        if sym in symlist:
+            usage[sym - ssi] = np.tile(dmrs_map, rb_size)
+    return res, usage
+
+
+def pusch_dmrs_ls_est(fd_slot_data: np.ndarray, pusch_config: dict,
+                      slot: int):
+    """LS channel estimate on PUSCH DMRS REs ->
+    (H_LS (sym, RB*3, Nr, NL), RS_info)."""
+    cfg = pusch_config
+    rb_start = cfg["ResAlloType1"]["RBStart"]
+    rb_size = cfg["ResAlloType1"]["RBSize"]
+    dmrs = cfg["DMRS"]
+    ports = cfg["PortIndexList"]
+    n_layers = cfg["num_of_layers"]
+    ld = cfg["StartSymbolIndex"] + cfg["NrOfSymbols"]
+    symlist = pusch_dmrs_symlist(ld, dmrs["DMRSAddPos"])
+    nr = fd_slot_data.shape[0]
+    n_sc = fd_slot_data.shape[1] // 14
+    scaling = 1.0 if dmrs["NumCDMGroupsWithoutData"] == 1 else 10 ** (-3 / 20)
+    n_scid = dmrs["nSCID"]
+    tpd = dmrs["transformPrecodingDisabled"]
+    nid = int(tpd["NID0"] if n_scid == 0 else tpd["NID1"])
+    tpe = dmrs["transformPrecodingEnabled"]
+
+    h_ls = np.zeros((len(symlist), rb_size * 3, nr, n_layers), np.complex64)
+    for idx, sym in enumerate(symlist):
+        start = sym * n_sc + rb_start * 12
+        if cfg["nTransPrecode"] == 0:
+            seq = _dmrs_seq_no_tp(n_scid, nid, rb_start * 6, rb_size * 6,
+                                  slot, sym)
+        else:
+            seq = _dmrs_seq_tp(tpe["nPuschID"], tpe["groupOrSequenceHopping"],
+                               rb_size * 6, slot, sym)
+        cseq = np.conj(seq)
+        for rx in range(nr):
+            for tx in range(n_layers):
+                p0 = ports[tx] - 1000
+                delta = (p0 // 2) % 2
+                d0 = fd_slot_data[rx, start + delta: start + rb_size * 12: 4] \
+                    * cseq[0::2]
+                d1 = fd_slot_data[rx, start + delta + 2:
+                                  start + rb_size * 12: 4] * cseq[1::2]
+                if p0 in (0, 2):
+                    h_ls[idx, :, rx, tx] = (d0 + d1) / (2 * scaling)
+                else:
+                    h_ls[idx, :, rx, tx] = (d0 - d1) / (2 * scaling)
+    rs_info = dict(type="nr_pusch", RSSymMap=symlist,
+                   PortIndexList=ports[:n_layers], RE_distance=4,
+                   NumCDMGroupsWithoutData=dmrs["NumCDMGroupsWithoutData"])
+    return h_ls, rs_info
+
+
+def data_control_demux_maps(pusch_config: dict, dmrs_symlist, rm_info: dict,
+                            qm: int, g_total: int):
+    """Run the 6.2.7 placement walk over int64 index tags to produce the
+    serialized-position gather map for each stream.
+
+    Returns dict stream -> int64 positions into the serialized LLR
+    sequence (same layout data_control_multiplex emits). ULSCH positions
+    come from a walk with the <=2-bit ACK overwrite disabled, so ULSCH
+    positions punctured by ACK are still present (matching the reference
+    separate, which reads them — corrupted — into g_ulsch).
+    """
+    cfg = pusch_config
+    n_ulsch = rm_info["G_ULSCH"] if cfg["EnableULSCH"] == 1 else 0
+    n_ack = rm_info["Euci_ack"] if cfg["EnableACK"] * cfg["NumACKBits"] else 0
+    n_csi1 = rm_info["Euci_CSI1"] if cfg["EnableCSI1"] * cfg["NumCSI1Bits"] \
+        else 0
+    n_csi2 = rm_info["Euci_CSI2"] if cfg["EnableCSI2"] * cfg["NumCSI2Bits"] \
+        else 0
+    base_u, base_a = 1, 1 + n_ulsch
+    base_c1 = base_a + n_ack
+    base_c2 = base_c1 + n_csi1
+    tags = dict(
+        ulsch=np.arange(base_u, base_u + n_ulsch, dtype=np.int64),
+        ack=np.arange(base_a, base_a + n_ack, dtype=np.int64),
+        csi1=np.arange(base_c1, base_c1 + n_csi1, dtype=np.int64),
+        csi2=np.arange(base_c2, base_c2 + n_csi2, dtype=np.int64))
+
+    def walk(ack_overwrite):
+        return data_control_multiplex(
+            tags["ulsch"], tags["ack"], tags["csi1"], tags["csi2"], cfg,
+            g_total, dmrs_symlist, rm_info, qm, dtype=np.int64,
+            ack_overwrite=ack_overwrite)
+
+    seq_no_ovw = walk(False)
+    n_ack_small = cfg["EnableACK"] * cfg["NumACKBits"] in (1, 2)
+    seq_ovw = walk(True) if (n_ack and n_ack_small) else seq_no_ovw
+
+    def positions(seq, lo, n):
+        mask = (seq >= lo) & (seq < lo + n)
+        pos = np.nonzero(mask)[0]
+        order = np.argsort(seq[pos], kind="stable")
+        out = pos[order]
+        assert out.size == n
+        return out.astype(np.int64)
+
+    return dict(
+        ulsch=positions(seq_no_ovw, base_u, n_ulsch),
+        ack=positions(seq_ovw, base_a, n_ack),
+        csi1=positions(seq_no_ovw, base_c1, n_csi1),
+        csi2=positions(seq_no_ovw, base_c2, n_csi2))
+
+
+def data_control_separate(llr: np.ndarray, pusch_config: dict, dmrs_symlist,
+                          rm_info: dict, qm: int):
+    """Inverse of data_control_multiplex: LLR sequence ->
+    (g_ulsch, g_ack, g_csi1, g_csi2) LLR streams (pure gathers)."""
+    maps = data_control_demux_maps(pusch_config, dmrs_symlist, rm_info, qm,
+                                   llr.size)
+    return (llr[maps["ulsch"]], llr[maps["ack"]], llr[maps["csi1"]],
+            llr[maps["csi2"]])
+
+
+# ---------------------------------------------------------------- UCI decode
+
+@functools.lru_cache(maxsize=None)
+def _special_codebook(k: int, qm: int):
+    """(2^k, N) +-1/0 codebook for the 1/2-bit special tables; placeholder
+    positions (x=-1, y=-2) contribute 0 to the correlation."""
+    msgs = ((np.arange(2 ** k)[:, None] >> np.arange(k)) & 1).astype(np.int8)
+    rows = []
+    for m in msgs:
+        cw = sb_ops.encode_smallblock_np(m, qm).astype(np.float32)
+        sig = 1.0 - 2.0 * cw
+        sig[cw < 0] = 0.0
+        rows.append(sig)
+    return np.stack(rows)
+
+
+def decode_uci_on_ulsch(llr: np.ndarray, n_bits: int, qm: int):
+    """Decode one UCI stream (inverse of encode_uci_on_ulsch).
+
+    -> (bits (n_bits,), ok) — ok is the CRC pass for polar UCI, True for
+    small-block (ML has no CRC).
+    """
+    llr = np.asarray(llr, np.float32)
+    if n_bits <= 11:
+        if n_bits <= 2:
+            N = {1: qm, 2: 3 * qm}[n_bits] if qm > 1 else (1, 3)[n_bits - 1]
+            acc = np.asarray(sb_ops.raterecover_smallblock(
+                jnp.asarray(llr[None]), N))[0]
+            cb = _special_codebook(n_bits, qm)
+            best = int(np.argmax(cb @ acc))
+            bits = (best >> np.arange(n_bits)) & 1
+            return bits.astype(np.int8), True
+        acc = sb_ops.raterecover_smallblock(jnp.asarray(llr[None]), 32)
+        bits = np.asarray(sb_ops.decode_smallblock(acc, n_bits))[0]
+        return bits.astype(np.int8), True
+    # polar path — mirror the encode-side segmentation sizing
+    cbs, C, er = polar_cb_segment(np.zeros(n_bits, np.int8), llr.size)
+    K = cbs.shape[1]
+    crc_len = 6 if (C == 1 and n_bits <= 19) else 11
+    n_max, i_il, i_bil = 10, 0, 1
+    out_bits = []
+    ok = True
+    for m in range(C):
+        seg = llr[m * er:(m + 1) * er]
+        N, _ = polar_ops.gen_n_value(K, er, n_max)
+        rec = np.asarray(polar_ops.polar_raterecover(
+            jnp.asarray(seg[None]), K, N, i_bil, er))
+        ck, crc_ok = polar_ops.polar_decode_scl(
+            jnp.asarray(rec), er, K, 8, n_max, i_il, crc_len=crc_len)
+        ok = ok and bool(np.asarray(crc_ok)[0])
+        out_bits.append(np.asarray(ck)[0, : K - crc_len])
+    bits = np.concatenate(out_bits)
+    if C == 2 and n_bits % 2 == 1:
+        bits = bits[1:]  # drop the front zero pad
+    return bits.astype(np.int8), ok
+
+
+# --------------------------------------------------------------- ULSCH decode
+
+def ulsch_decode(llr: np.ndarray, tbsize: int, qm: int, rate1024: float,
+                 n_layers: int, rv: int, ldpc_cfg: dict,
+                 harq_on: bool = False,
+                 current_llr_dns: np.ndarray | None = None):
+    """ULSCH decode chain -> (status, tbblk, new_llr_dns (C, N)).
+
+    UL uses Ncb = N (no LBRM, nr_ulsch_decode.py:50-53)."""
+    G = llr.size
+    A = tbsize
+    tb_poly = "24A" if A > 3824 else "16"
+    B = A + (24 if A > 3824 else 16)
+    bgn = 1
+    if (A <= 292 or (A <= 3824 and rate1024 <= 0.67 * 1024)
+            or rate1024 <= 0.25 * 1024):
+        bgn = 2
+    info = ldpc_ops.get_cbs_info(B, bgn)
+    er_list = ldpc_ops.get_er_ldpc(G, info.C, qm, n_layers)
+
+    llr_dns = np.zeros((info.C, info.N), np.float32)
+    g_off = 0
+    c0 = 0
+    while c0 < info.C:
+        E = er_list[c0]
+        c1 = c0
+        while c1 < info.C and er_list[c1] == E:
+            c1 += 1
+        grp = llr[g_off: g_off + (c1 - c0) * E].reshape(c1 - c0, E)
+        rec = ldpc_ops.ldpc_raterecover(jnp.asarray(grp), info, rv, qm,
+                                        Ncb=info.N)
+        llr_dns[c0:c1] = np.asarray(rec)
+        g_off += (c1 - c0) * E
+        c0 = c1
+
+    if harq_on and current_llr_dns is not None and current_llr_dns.size:
+        both = (llr_dns != 0) & (current_llr_dns != 0)
+        combined = llr_dns + current_llr_dns
+        llr_dns = np.where(both, combined / 2, combined).astype(np.float32)
+
+    bits, ok, _ = ldpc_ops.ldpc_decode(
+        jnp.asarray(llr_dns), info.Zc, bgn, ldpc_cfg["L"],
+        algo=ldpc_cfg["algo"], alpha=ldpc_cfg["alpha"],
+        beta=ldpc_cfg["beta"])
+    bits = np.asarray(bits)
+    k_apo = info.cbz + info.L
+    cb_bits = bits[:, : info.cbz] if info.C > 1 else bits[:, : k_apo]
+    tbblkandcrc = cb_bits.reshape(-1)[:B]
+    tbblk, tb_err = crc_ops.crc_decode_np(tbblkandcrc.astype(np.int8),
+                                          tb_poly)
+    return tb_err == 0, tbblk, llr_dns
+
+
+def ulsch_uci_decode_process(llr: np.ndarray, pusch_config: dict, rv: int,
+                             ldpc_cfg: dict, harq_on: bool = False,
+                             current_llr_dns: np.ndarray | None = None,
+                             decode_uci: bool = True):
+    """ULSCH + UCI decode (reference ULSCHandUCIDecodeProcess, plus real
+    UCI decoding the reference leaves as TODO).
+
+    -> (ulsch_status, tbblk, new_llr_dns, uci: dict)."""
+    cfg = pusch_config
+    g_total = llr.size
+    ld = cfg["StartSymbolIndex"] + cfg["NrOfSymbols"]
+    dmrs_symlist = pusch_dmrs_symlist(ld, cfg["DMRS"]["DMRSAddPos"])
+    tbsize, qm, rate1024 = tbs_mod.ulsch_tbsize(cfg)
+    if cfg["EnableULSCH"] == 1:
+        _, info, _ = ulsch_crc_segment(np.zeros(tbsize, np.int8), tbsize,
+                                       rate1024)
+        ulsch_size = info.C * info.K
+    else:
+        ulsch_size = 0
+    rm = get_ulsch_rm_info(cfg, dmrs_symlist, ulsch_size, qm, rate1024,
+                           g_total)
+    g_ulsch, g_ack, g_csi1, g_csi2 = data_control_separate(
+        llr, cfg, dmrs_symlist, rm, qm)
+
+    uci = {}
+    if decode_uci:
+        if g_ack.size:
+            uci["ack"] = decode_uci_on_ulsch(g_ack, cfg["NumACKBits"], qm)
+        if g_csi1.size:
+            uci["csi1"] = decode_uci_on_ulsch(g_csi1, cfg["NumCSI1Bits"], qm)
+        if g_csi2.size:
+            uci["csi2"] = decode_uci_on_ulsch(g_csi2, cfg["NumCSI2Bits"], qm)
+
+    if cfg["EnableULSCH"] == 1:
+        status, tbblk, new_llr = ulsch_decode(
+            g_ulsch, tbsize, qm, rate1024, cfg["num_of_layers"], rv,
+            ldpc_cfg, harq_on, current_llr_dns)
+        return status, tbblk, new_llr, uci
+    return False, np.array([]), np.array([]), uci
+
+
+class PuschRxMixin:
+    """RX methods mixed into NrPUSCH."""
+
+    def H_LS_est(self, rx_fd_slot, slot):
+        h_ls, info = pusch_dmrs_ls_est(rx_fd_slot, self.cfg, slot)
+        info["scs"] = self.carrier["scs"]
+        self.H_LS, self.DMRS_info = h_ls, info
+        return h_ls, info
+
+    def RX_process(self, rx_fd_slot, slot, CEQ_config, H_result, cov_m,
+                   LDPC_decoder_config, nrChannelEstimation=None,
+                   HARQ_on=False, current_LLr_dns=None, decode_uci=True):
+        cfg = self.cfg
+        if (slot % cfg["period_in_slot"]) not in cfg["allocated_slots"]:
+            return False, np.array([]), np.array([]), {}
+        ssi = cfg["StartSymbolIndex"]
+        qm = self.qm
+        modtype = _MODTYPE[qm]
+        res, re_usage = copy_rx_pusch_resource(rx_fd_slot, cfg)
+        if nrChannelEstimation:
+            res = nrChannelEstimation.process_pdsch_data(res, ssi)
+
+        nl = cfg["num_of_layers"]
+        sym_idx, re_idx = np.nonzero(re_usage == 0)
+        y = res[sym_idx, re_idx, :]
+        h = np.asarray(H_result)[sym_idx + ssi, re_idx, :, :]
+        cov = np.asarray(cov_m)[sym_idx + ssi, re_idx // 12, :, :]
+        s_est, noise_var, _, llr = channel_equ_and_demod(
+            y, h, cov, modtype, CEQ_config)
+        llr = np.asarray(llr).reshape(-1)
+
+        if cfg["nTransPrecode"] == 1:
+            # de-transform-precode per symbol, then redo the LLRs
+            assert nl == 1
+            m_sc = cfg["ResAlloType1"]["RBSize"] * 12
+            s_mat = np.asarray(s_est).reshape(-1, m_sc)
+            yi = np.fft.ifft(s_mat, axis=-1) * math.sqrt(m_sc)
+            nv = np.asarray(noise_var).reshape(-1, m_sc)
+            _, llr = demodulate(jnp.asarray(yi.reshape(-1)), modtype,
+                                jnp.asarray(nv.reshape(-1)))
+            llr = np.asarray(llr).reshape(-1)
+
+        cinit = cfg["rnti"] * (2 ** 15) + cfg["nNid"]
+        seq = gen_prbs_np(cinit, llr.size)
+        llr = llr * (1 - 2 * seq)
+
+        rv = self.getnextrv()
+        return ulsch_uci_decode_process(
+            llr, cfg, rv, LDPC_decoder_config, HARQ_on, current_LLr_dns,
+            decode_uci=decode_uci)

@@ -155,10 +155,17 @@ def get_ulsch_rm_info(pusch_config: dict, dmrs_symlist, ulsch_size: int,
 
 
 def data_control_multiplex(g_ulsch, g_ack, g_csi1, g_csi2, pusch_config,
-                           g_total, dmrs_symlist, rm_info, qm):
+                           g_total, dmrs_symlist, rm_info, qm,
+                           dtype=np.int8, ack_overwrite=True):
     """38.212 6.2.7 placement walk (mirrors the reference's exact
     behavior, including its absolute-vs-relative symbol indexing which
-    assumes StartSymbolIndex precedes the first DMRS symbol)."""
+    assumes StartSymbolIndex precedes the first DMRS symbol).
+
+    `dtype`/`ack_overwrite` support the RX inverse (data_control_separate
+    in pusch_rx.py): running the same walk over int64 index tags, with
+    the <=2-bit-ACK overwrite of reserved positions optionally disabled
+    so ULSCH tag positions survive for the gather-map construction.
+    """
     cfg = pusch_config
     rb = cfg["ResAlloType1"]["RBSize"]
     ssi = cfg["StartSymbolIndex"]
@@ -178,8 +185,8 @@ def data_control_multiplex(g_ulsch, g_ack, g_csi1, g_csi2, pusch_config,
     l1 = dmrs_symlist[0] + 1
     l_csi1 = ssi + 1 if ssi in dmrs_symlist else ssi
 
-    g_seq = np.zeros(g_total, np.int8)
-    gbar = np.zeros((nsym, rb * 12, nlqm), np.int8)
+    g_seq = np.zeros(g_total, dtype)
+    gbar = np.zeros((nsym, rb * 12, nlqm), dtype)
 
     phibar_ulsch = [list(p) for p in phi_ulsch]
     mbar_ulsch = list(m_ulsch)
@@ -304,7 +311,7 @@ def data_control_multiplex(g_ulsch, g_ack, g_csi1, g_csi2, pusch_config,
                     cnt += 1
 
     # step 5: 1-2 ACK bits overwrite the reserved positions
-    if en_ack in (1, 2):
+    if en_ack in (1, 2) and ack_overwrite:
         cnt = cnt_all = 0
         g_ack_total = rm_info["Euci_ack"]
         L = l1

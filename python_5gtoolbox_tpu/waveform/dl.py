@@ -79,3 +79,45 @@ def gen_dl_waveform(waveform_config: dict, carrier_config: dict,
     nfft = num.fft_size(prb)
     return (fd_waveform, np.asarray(td_flat), np.asarray(dl),
             nfft * scs * 1000)
+
+
+def gen_dl_channel_list(waveform_config, carrier_config, ssb_config=None,
+                        pdcch_config_list=(), search_space_list=(),
+                        coreset_config_list=(), csirs_config_list=(),
+                        pdsch_config_list=()):
+    """Instantiate enabled DL channel objects from configs.
+
+    Reference-parity builder (nr_dl_waveform.py:110-201): returns
+    (nrSSB_list, nrPdsch_list, nrCSIRS_list, nrPDCCH_list). `enable`
+    flags are the strings "True"/"False" as in the reference configs.
+    """
+    from python_5gtoolbox_tpu.phy.csirs import NrCSIRS
+    from python_5gtoolbox_tpu.phy.pdcch import NrSearchSpace, Pdcch
+    from python_5gtoolbox_tpu.phy.pdsch import Pdsch
+    from python_5gtoolbox_tpu.phy.ssb import NrSSB
+
+    ssb_list = []
+    if ssb_config and ssb_config["enable"] == "True":
+        ssb_list.append(NrSSB(carrier_config, ssb_config))
+    pdsch_list = [Pdsch(c, carrier_config) for c in pdsch_config_list
+                  if c["enable"] == "True"]
+    csirs_list = [NrCSIRS(carrier_config, c) for c in csirs_config_list
+                  if c["enable"] == "True"]
+    ss_list = []
+    for ss_cfg in search_space_list:
+        if ss_cfg["enable"] != "True":
+            continue
+        cs = [c for c in coreset_config_list
+              if c["coreset_id"] == ss_cfg["controlResourceSetId"]]
+        assert cs, "search space references a missing coreset"
+        ss_list.append(NrSearchSpace(carrier_config, ss_cfg, cs[0]))
+    pdcch_list = []
+    for cfg in pdcch_config_list:
+        if cfg["enable"] != "True":
+            continue
+        sel = [s for s in ss_list
+               if s.search_space_config["controlResourceSetId"]
+               == cfg["searchSpaceId"]]
+        assert sel, "PDCCH references a missing search space"
+        pdcch_list.append(Pdcch(cfg, sel[0]))
+    return ssb_list, pdsch_list, csirs_list, pdcch_list

@@ -56,3 +56,30 @@ def gen_ul_waveform(waveform_config: dict, carrier_config: dict,
     ul = filters.tx_channel_filter(td_flat, scs, bw, out_rate_hz)
     fd_waveform = grids.transpose(1, 0, 2).reshape(nant, -1)
     return fd_waveform, np.asarray(td_flat), np.asarray(ul)
+
+
+def gen_ul_channel_list(waveform_config, carrier_config,
+                        pusch_config_list=(), srs_config_list=(),
+                        pucch_format0_config_list=(),
+                        pucch_format1_config_list=(),
+                        pucch_format2_config_list=(),
+                        pucch_format3_config_list=(),
+                        pucch_format4_config_list=()):
+    """Instantiate enabled UL channel objects (nr_ul_waveform.py:105-170)."""
+    from python_5gtoolbox_tpu.phy.pucch import (
+        NrPUCCHFormat0, NrPUCCHFormat1, NrPUCCHFormat2, NrPUCCHFormat3,
+        NrPUCCHFormat4)
+    from python_5gtoolbox_tpu.phy.pusch import NrPUSCH
+    from python_5gtoolbox_tpu.phy.srs import NrSRS
+
+    def build(cls, cfgs):
+        return [cls(carrier_config, c) for c in cfgs
+                if c["enable"] == "True"]
+
+    return (build(NrPUSCH, pusch_config_list),
+            build(NrSRS, srs_config_list),
+            build(NrPUCCHFormat0, pucch_format0_config_list),
+            build(NrPUCCHFormat1, pucch_format1_config_list),
+            build(NrPUCCHFormat2, pucch_format2_config_list),
+            build(NrPUCCHFormat3, pucch_format3_config_list),
+            build(NrPUCCHFormat4, pucch_format4_config_list))

@@ -1,0 +1,54 @@
+"""PDSCH throughput example sweeping CEQ algorithms and channels
+(reference scripts/NR_PDSCH_throughput_example.py).
+
+TX -> (Rayleigh one-tap MIMO channel + AWGN) -> Rx low-PHY -> DFT CE ->
+{MMSE, MMSE-IRC, ML-IRC, ML2-IRC} equalization -> LDPC decode; reports
+TB pass rate per SNR and pickles results to out/.
+"""
+import pathlib
+import pickle
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+from python_5gtoolbox_tpu.models.channel import gen_channel_model_config  # noqa: E402
+from python_5gtoolbox_tpu.utils.config import get_default_config, merged  # noqa: E402
+from scripts.internal import sim_pdsch_throughput_internal as internal  # noqa: E402
+
+# ---- configuration (edit-the-constants style, like the reference) ----------
+Nt, Nr = 2, 4
+snr_db_list = np.arange(8.0, 12.0, 1.0).tolist()
+ceq_algo_list = ["MMSE", "MMSE-IRC", "ML-IRC-soft", "ML2-IRC-soft"]
+n_slots = 2
+filename = "out/nr_pdsch_throughput.pickle"
+
+sim_flag = 1
+
+if __name__ == "__main__":
+    carrier = merged(get_default_config("dl_carrier"),
+                     dict(BW=20, scs=30, num_of_ant=Nt, Nr=Nr,
+                          maxMIMO_layers=Nt))
+    pdsch = get_default_config("pdsch")
+    pdsch.update(mcs_table="64QAM", mcs_index=5, num_of_layers=Nt,
+                 data_source=[1, 0, 0, 1])
+    pdsch["ResAlloType1"]["RBSize"] = 20
+    pdsch["precoding_matrix"] = np.eye(Nt).tolist()
+
+    chan_cfg = gen_channel_model_config(
+        model_format="customized", Nt=Nt, Nr=Nr,
+        Rspat_config=("low", "uniform", "DL", (0, 0)),
+        multi_paths=[[0, 0, "Rayleigh", 0, 0]], fm_inHz=10)
+
+    if sim_flag:
+        results = internal.run_pdsch_throughput(
+            carrier, pdsch, chan_cfg, snr_db_list, ceq_algo_list,
+            n_slots=n_slots)
+        with open(filename, "wb") as f:
+            pickle.dump([dict(Nt=Nt, Nr=Nr, snr_db_list=snr_db_list),
+                         results], f)
+    with open(filename, "rb") as f:
+        cfg, results = pickle.load(f)
+    for algo in ceq_algo_list:
+        print(f"{algo}: pass rates {results[algo]}")

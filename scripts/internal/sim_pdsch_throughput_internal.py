@@ -1,0 +1,99 @@
+"""PDSCH link-level simulation internals (TX -> channel -> RX).
+
+Behavior parity target: scripts/internal/sim_pdsch_throughput_internal.py
+of the reference (pdsch_before_CEQ_processing + per-slot RX loop in
+scripts/NR_PDSCH_throughput_example.py:119-157). Call stack mirrored from
+SURVEY.md 3.3:
+  gen_channel_model_config -> gen_dl_waveform (with Dm timing injection)
+  -> NrChannelModel.filter -> rx channel filter + Rx low-PHY
+  -> H_LS_est -> NrChannelEstimation -> Pdsch.RX_process.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from python_5gtoolbox_tpu.models import channel as chan_mod
+from python_5gtoolbox_tpu.phy.pdsch import Pdsch
+from python_5gtoolbox_tpu.rx.channel_estimate import NrChannelEstimation
+from python_5gtoolbox_tpu.utils.numerology import (carrier_prb_size,
+                                                   fft_size, slots_per_frame)
+from python_5gtoolbox_tpu.waveform import dl as dl_wf
+from python_5gtoolbox_tpu.waveform import rx as rx_wf
+
+DEFAULT_CE_CONFIG = dict(enable_TO_comp=True, enable_FO_est=True,
+                         enable_FO_comp=True, CE_algo="DFT",
+                         L_symm_left_in_ns=200, L_symm_right_in_ns=200,
+                         eRB=2)
+DEFAULT_LDPC_CONFIG = dict(L=16, algo="min-sum", alpha=1.0, beta=0.0)
+
+
+def pdsch_before_ceq_processing(carrier_config, pdsch_config, chan_cfg,
+                                pnoise_db, n_slots=2, seed=0,
+                                ce_config=None):
+    """TX + channel + Rx low-PHY + channel estimation for each slot.
+
+    Returns (nrPdsch, per-slot list of (rx_fd_slot, H_result, cov_m, est)).
+    """
+    ce_config = dict(DEFAULT_CE_CONFIG, **(ce_config or {}))
+    scs, bw = carrier_config["scs"], carrier_config["BW"]
+    prb = carrier_prb_size(scs, bw)
+    nfft = fft_size(prb)
+    fs_hz = carrier_config["samplerate_in_mhz"] * 1e6 \
+        if "samplerate_in_mhz" in carrier_config else nfft * scs * 1000.0
+
+    waveform_config = dict(numofslots=n_slots, startSFN=0, startslot=0,
+                           samplerate_in_mhz=fs_hz / 1e6)
+    nr_pdsch = Pdsch(pdsch_config, carrier_config)
+
+    model = chan_mod.NrChannelModel(
+        chan_cfg, pnoise_db, carrier_config["carrier_frequency_in_mhz"] * 1e6,
+        fs_hz, scs, seed=seed)
+    dm = model.gen_Dm(n_slots)
+
+    fd, td, dl, _ = dl_wf.gen_dl_waveform(
+        waveform_config, carrier_config, nrPdsch_list=[nr_pdsch], Dm=dm)
+    rx = model.filter(dl)
+    _, rx_fd = rx_wf.waveform_rx_processing(rx, carrier_config, fs_hz)
+
+    n_sc = 12 * prb
+    slot_size = 14 * n_sc
+    per_slot = []
+    for slot in range(n_slots):
+        rx_slot = rx_fd[:, slot * slot_size: (slot + 1) * slot_size]
+        if (slot % pdsch_config["period_in_slot"]) not in \
+                pdsch_config["allocated_slots"]:
+            per_slot.append((rx_slot, None, None, None))
+            continue
+        h_ls, rs_info = nr_pdsch.H_LS_est(rx_slot, slot)
+        rs_info["scs"] = scs
+        est = NrChannelEstimation(h_ls, rs_info, ce_config)
+        H, cov = est.channel_est()
+        per_slot.append((rx_slot, H, cov, est))
+    return nr_pdsch, per_slot
+
+
+def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
+                         snr_db_list, ceq_algo_list, n_slots=2,
+                         ce_config=None, ldpc_config=None, seed=0):
+    """-> dict algo -> [TB pass-rate per SNR] (+ 'tbs_bits')."""
+    ldpc_config = dict(DEFAULT_LDPC_CONFIG, **(ldpc_config or {}))
+    results = {algo: [] for algo in ceq_algo_list}
+    for snr in snr_db_list:
+        nr_pdsch, slots = pdsch_before_ceq_processing(
+            carrier_config, pdsch_config, chan_cfg, -snr, n_slots, seed,
+            ce_config)
+        for algo in ceq_algo_list:
+            npass = ntot = 0
+            nr_pdsch.rvidx = -1
+            for slot, (rx_slot, H, cov, est) in enumerate(slots):
+                if H is None:
+                    continue
+                ok, tbblk, _ = nr_pdsch.RX_process(
+                    rx_slot, slot, {"algo": algo}, H, cov, ldpc_config, est)
+                npass += int(ok)
+                ntot += 1
+            results[algo].append(npass / max(ntot, 1))
+            print(f"PDSCH snr={snr:+.1f}dB {algo}: "
+                  f"{npass}/{ntot} TB passed")
+    results["tbs_bits"] = nr_pdsch.tbsize
+    return results

@@ -1,0 +1,81 @@
+"""PUSCH link-level simulation internals (TX -> channel -> RX).
+
+Behavior parity target: scripts/internal/sim_pusch_throughput_internal.py
+of the reference (UL counterpart of the PDSCH pipeline; SURVEY.md 3.3).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from python_5gtoolbox_tpu.models import channel as chan_mod
+from python_5gtoolbox_tpu.phy.pusch import NrPUSCH
+from python_5gtoolbox_tpu.rx.channel_estimate import NrChannelEstimation
+from python_5gtoolbox_tpu.utils.numerology import carrier_prb_size, fft_size
+from python_5gtoolbox_tpu.waveform import rx as rx_wf
+from python_5gtoolbox_tpu.waveform import ul as ul_wf
+
+from scripts.internal.sim_pdsch_throughput_internal import (
+    DEFAULT_CE_CONFIG, DEFAULT_LDPC_CONFIG)
+
+
+def pusch_before_ceq_processing(carrier_config, pusch_config, chan_cfg,
+                                pnoise_db, n_slots=2, seed=0,
+                                ce_config=None):
+    ce_config = dict(DEFAULT_CE_CONFIG, **(ce_config or {}))
+    scs, bw = carrier_config["scs"], carrier_config["BW"]
+    prb = carrier_prb_size(scs, bw)
+    nfft = fft_size(prb)
+    fs_hz = nfft * scs * 1000.0
+    waveform_config = dict(numofslots=n_slots, startSFN=0, startslot=0,
+                           samplerate_in_mhz=fs_hz / 1e6)
+    nr_pusch = NrPUSCH(carrier_config, pusch_config)
+    model = chan_mod.NrChannelModel(
+        chan_cfg, pnoise_db, carrier_config["carrier_frequency_in_mhz"] * 1e6,
+        fs_hz, scs, seed=seed)
+    fd, td, ul = ul_wf.gen_ul_waveform(waveform_config, carrier_config,
+                                       nrPusch_list=[nr_pusch])
+    rx = model.filter(ul)
+    _, rx_fd = rx_wf.waveform_rx_processing(rx, carrier_config, fs_hz)
+
+    slot_size = 14 * 12 * prb
+    per_slot = []
+    for slot in range(n_slots):
+        rx_slot = rx_fd[:, slot * slot_size: (slot + 1) * slot_size]
+        if (slot % pusch_config["period_in_slot"]) not in \
+                pusch_config["allocated_slots"]:
+            per_slot.append((rx_slot, None, None, None))
+            continue
+        h_ls, rs_info = nr_pusch.H_LS_est(rx_slot, slot)
+        est = NrChannelEstimation(h_ls, rs_info, ce_config)
+        H, cov = est.channel_est()
+        per_slot.append((rx_slot, H, cov, est))
+    return nr_pusch, per_slot
+
+
+def run_pusch_throughput(carrier_config, pusch_config, chan_cfg,
+                         snr_db_list, ceq_algo_list, n_slots=2,
+                         ce_config=None, ldpc_config=None, seed=0,
+                         decode_uci=False):
+    """-> dict algo -> [TB pass-rate per SNR] (+ 'tbs_bits')."""
+    ldpc_config = dict(DEFAULT_LDPC_CONFIG, **(ldpc_config or {}))
+    results = {algo: [] for algo in ceq_algo_list}
+    for snr in snr_db_list:
+        nr_pusch, slots = pusch_before_ceq_processing(
+            carrier_config, pusch_config, chan_cfg, -snr, n_slots, seed,
+            ce_config)
+        for algo in ceq_algo_list:
+            npass = ntot = 0
+            nr_pusch.rvidx = -1
+            for slot, (rx_slot, H, cov, est) in enumerate(slots):
+                if H is None:
+                    continue
+                ok, tbblk, _, _ = nr_pusch.RX_process(
+                    rx_slot, slot, {"algo": algo}, H, cov, ldpc_config, est,
+                    decode_uci=decode_uci)
+                npass += int(ok)
+                ntot += 1
+            results[algo].append(npass / max(ntot, 1))
+            print(f"PUSCH snr={snr:+.1f}dB {algo}: "
+                  f"{npass}/{ntot} TB passed")
+    results["tbs_bits"] = nr_pusch.tbsize
+    return results

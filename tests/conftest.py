@@ -40,3 +40,31 @@ def import_reference():
     """Make the reference py5gphy importable (golden-vector generation)."""
     if str(REFERENCE) not in sys.path:
         sys.path.insert(0, str(REFERENCE))
+
+
+# ---------------------------------------------------------------------------
+# mmap-count guard: every XLA-CPU compiled executable holds ~6 anonymous
+# mappings, and eager-mode host paths compile thousands of unique small
+# executables across the suite. Linux vm.max_map_count (65530 default)
+# then aborts LLVM with "Cannot allocate memory" mid-compile. Clear the
+# JAX executable caches whenever we approach the limit.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_MAPS_FILE = f"/proc/{os.getpid()}/maps"
+_MAPS_LIMIT = 45000
+
+
+def _n_maps() -> int:
+    try:
+        with open(_MAPS_FILE) as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _jax_map_guard():
+    yield
+    if _n_maps() > _MAPS_LIMIT:
+        jax.clear_caches()
