@@ -25,6 +25,7 @@ import functools
 import pathlib
 
 import numpy as np
+from python_5gtoolbox_tpu.utils.host import to_host
 import jax
 import jax.numpy as jnp
 
@@ -278,4 +279,4 @@ class NrChannelModel:
             k1, k2 = jax.random.split(self._next_key())
             acc = acc + sigma * (jax.random.normal(k1, acc.shape)
                                  + 1j * jax.random.normal(k2, acc.shape))
-        return np.asarray(acc)
+        return to_host(acc)

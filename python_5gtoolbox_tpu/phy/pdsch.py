@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+from python_5gtoolbox_tpu.utils.host import to_host
 import jax
 import jax.numpy as jnp
 
@@ -178,7 +179,7 @@ class Pdsch:
             n_layers, rv, self.tbs_lbrm, G)
         cinit = self.cfg["rnti"] * (2 ** 15) + self.cfg["nID"]
         scr = jnp.asarray(gen_prbs_np(cinit, G))
-        precoded = np.asarray(pdsch_symbol_encode(
+        precoded = to_host(pdsch_symbol_encode(
             g_seq, scr, jnp.asarray(self.precoding), self.qm, n_layers,
             n_ant, cinit, G))
         fd_slot = self._data_mapping_commit(precoded, fd_slot, usage)

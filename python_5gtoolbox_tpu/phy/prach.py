@@ -19,6 +19,7 @@ import math
 import pathlib
 
 import numpy as np
+from python_5gtoolbox_tpu.utils.host import to_host
 
 from python_5gtoolbox_tpu.ops.filters import _conv1d, halfband_coeff
 from python_5gtoolbox_tpu.utils.numerology import carrier_prb_size
@@ -239,7 +240,7 @@ def prach_upsample(x: np.ndarray, reps: int) -> np.ndarray:
         pl = (n - 1) - off
         pr = (n - 1) - ((2 * y.shape[-1] + n - 2) - (off + 2 * y.shape[-1]))
         y = _conv1d(y, taps, (pl, pr), lhs_dilation=2)
-    out = np.asarray(y)
+    out = to_host(y)
     return out[0] if np.ndim(x) == 1 else out
 
 

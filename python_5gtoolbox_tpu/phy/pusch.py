@@ -27,6 +27,7 @@ import functools
 import math
 
 import numpy as np
+from python_5gtoolbox_tpu.utils.host import to_host
 import jax
 import jax.numpy as jnp
 
@@ -202,7 +203,7 @@ class NrPUSCH:
         scr = jnp.asarray(gen_prbs_np(cinit, g_total))
         pm = get_precoding_matrix(n_layers, cfg["nNrOfAntennaPorts"],
                                   cfg["nPMI"])
-        precoded = np.asarray(pusch_symbol_encode(
+        precoded = to_host(pusch_symbol_encode(
             jnp.asarray(g_seq), scr, jnp.asarray(pm), self.qm, n_layers,
             cfg["nTransPrecode"], cfg["ResAlloType1"]["RBSize"] * 12))
         fd_slot = self._data_mapping_commit(precoded, fd_slot, usage)

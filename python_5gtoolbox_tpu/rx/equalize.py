@@ -13,6 +13,7 @@ diagonal load (identical in the generic case, numerically safer).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -134,6 +135,155 @@ def ml(y, h, cov, modtype: str, irc: bool = False, soft: bool = True):
     return s_est, nv, hard, llr
 
 
+def _ml_finish(y, h, cov, modtype, s_est, best_lay_idx, soft):
+    """Shared tail: noise_var + opposite-symbol max-log LLRs given the
+    per-layer winning constellation indices (N, NL)."""
+    n, nr, nl = h.shape
+    syms, bits = constellation(modtype)
+    qm = np.asarray(bits).shape[1]
+    sigma2 = jnp.mean(jnp.real(jnp.diagonal(cov, axis1=-2, axis2=-1)),
+                      axis=-1)
+    resid0 = y - jnp.einsum("nrl,nl->nr", h, s_est)
+    min_dist = jnp.sum(jnp.abs(resid0) ** 2, axis=-1)
+    nv = jnp.broadcast_to((min_dist / sigma2)[:, None], (n, nl))
+    hard = jnp.concatenate(
+        [jnp.asarray(np.asarray(bits), jnp.int8)[best_lay_idx[:, l]]
+         for l in range(nl)], axis=-1)
+    if not soft:
+        return s_est, nv, hard, (1 - 2 * hard).astype(jnp.float32)
+    opp_idx = _opposite_symbol_table(modtype)
+    llrs = []
+    for l in range(nl):
+        for m in range(qm):
+            opp = jnp.asarray(opp_idx[:, m])[best_lay_idx[:, l]]
+            s_new = s_est.at[:, l].set(jnp.asarray(np.asarray(syms))[opp])
+            resid = y - jnp.einsum("nrl,nl->nr", h, s_new)
+            d = jnp.sum(jnp.abs(resid) ** 2, axis=-1) / sigma2
+            bit = hard[:, l * qm + m]
+            llr = jnp.where(bit == 0, -nv[:, l] + d, nv[:, l] - d)
+            llrs.append(llr)
+    return s_est, nv, hard, jnp.stack(llrs, axis=-1)
+
+
+def mmse_ml(y, h, cov, modtype: str, irc: bool = False,
+            max_neigh: int = 4, soft: bool = True):
+    """MMSE-assisted reduced-set ML (MMSE_ML.py:12-105): MMSE picks the
+    `max_neigh` nearest constellation points per layer, ML searches only
+    their product set. Batched: one gather + one (N, P^NL) distance
+    reduction."""
+    s_mmse, _ = mmse(y, h, cov, irc=irc)
+    if irc:
+        y, h = _whiten(y, h, cov)
+        cov = jnp.broadcast_to(jnp.eye(h.shape[-2], dtype=h.dtype),
+                               cov.shape)
+    n, nr, nl = h.shape
+    syms, _ = constellation(modtype)
+    syms_j = jnp.asarray(np.asarray(syms))
+    p = min(max_neigh, len(syms))
+    d_layer = jnp.abs(syms_j[None, None, :] - s_mmse[..., None])  # (N,NL,Q)
+    _, sel = jax.lax.top_k(-d_layer, p)                           # (N,NL,P)
+    grids = np.meshgrid(*([np.arange(p)] * nl), indexing="ij")
+    combo = np.stack([g.reshape(-1) for g in grids], axis=-1)     # (C, NL)
+    cand_lay_idx = jnp.stack(
+        [sel[:, l, jnp.asarray(combo[:, l])] for l in range(nl)],
+        axis=-1)                                                  # (N,C,NL)
+    cand = syms_j[cand_lay_idx]                                   # (N,C,NL)
+    hs = jnp.einsum("nrl,ncl->ncr", h, cand)
+    dist = jnp.sum(jnp.abs(y[:, None, :] - hs) ** 2, axis=-1)
+    best = jnp.argmin(dist, axis=-1)
+    best_lay_idx = jnp.take_along_axis(
+        cand_lay_idx, best[:, None, None], axis=1)[:, 0]          # (N,NL)
+    s_est = syms_j[best_lay_idx]
+    return _ml_finish(y, h, cov, modtype, s_est, best_lay_idx, soft)
+
+
+def opt_rank2_ml(y, h, cov, modtype: str, irc: bool = False,
+                 soft: bool = True):
+    """Rank-2-optimized exact ML (opt_rank2_ML.py:9-137): O(Q) instead of
+    O(Q^2) by solving the other layer's PAM coordinates in closed form.
+    Falls back to full ML for NL != 2. Batched over REs."""
+    if h.shape[-1] != 2:
+        return ml(y, h, cov, modtype, irc=irc, soft=soft)
+    if irc:
+        y, h = _whiten(y, h, cov)
+        cov = jnp.broadcast_to(jnp.eye(h.shape[-2], dtype=h.dtype),
+                               cov.shape)
+    syms, _ = constellation(modtype)
+    syms_np = np.asarray(syms)
+    pam = np.unique(syms_np.real)                     # PAM levels (sqrtQ,)
+    pam_j = jnp.asarray(pam)
+    syms_j = jnp.asarray(syms_np)
+
+    yh = jnp.einsum("nr,nrl->nl", jnp.conj(y), h)     # (N, 2)
+    a0i, a0q = jnp.real(yh[:, 0]), jnp.imag(yh[:, 0])
+    a1i, a1q = jnp.real(yh[:, 1]), jnp.imag(yh[:, 1])
+    hh = jnp.einsum("nri,nrj->nij", jnp.conj(h), h)   # (N, 2, 2)
+    a2 = jnp.real(hh[:, 0, 0])
+    a3 = jnp.real(hh[:, 1, 1])
+    a4i, a4q = jnp.real(hh[:, 0, 1]), jnp.imag(hh[:, 0, 1])
+
+    def quant(target, a):
+        """Nearest PAM level if a>0, farthest otherwise (reference rule)."""
+        d = jnp.abs(pam_j[None, None, :] - target[..., None])
+        near = jnp.argmin(d, axis=-1)
+        far = jnp.argmax(d, axis=-1)
+        return pam_j[jnp.where((a > 0)[:, None], near, far)]
+
+    x0 = jnp.real(syms_j)[None, :]                    # (1, Q)
+    y0 = jnp.imag(syms_j)[None, :]
+
+    def branch(b0i, b0q, b1i, b1q, c_self, c_other):
+        """Search over this layer's constellation, solve the other."""
+        l1 = (c_self[:, None] * (x0 ** 2 + y0 ** 2)
+              - 2 * b0i[:, None] * x0 + 2 * b0q[:, None] * y0)
+        gx = -b1i[:, None] + a4i[:, None] * x0 + a4q[:, None] * y0
+        cx = quant(-gx / c_other[:, None], c_other)
+        l2 = c_other[:, None] * cx * cx + 2 * gx * cx
+        gy = b1q[:, None] + a4i[:, None] * y0 - a4q[:, None] * x0
+        cy = quant(-gy / c_other[:, None], c_other)
+        l3 = c_other[:, None] * cy * cy + 2 * gy * cy
+        tot = l1 + l2 + l3
+        best = jnp.argmin(tot, axis=-1)
+        metric = jnp.take_along_axis(tot, best[:, None], axis=1)[:, 0]
+        s_self = syms_j[best]
+        s_other = (jnp.take_along_axis(cx, best[:, None], axis=1)[:, 0]
+                   + 1j * jnp.take_along_axis(cy, best[:, None],
+                                              axis=1)[:, 0])
+        return metric, s_self, s_other
+
+    # L2: enumerate layer 0, solve layer 1; L3: the converse. The
+    # reference's gy for the converse branch flips the a4q sign
+    # (conjugate cross-term), matched here by passing -a4q via b-swap.
+    m2, s0_a, s1_a = branch(a0i, a0q, a1i, a1q, a2, a3)
+    a4q_n = -a4q
+
+    def branch_rev():
+        l1 = (a3[:, None] * (x0 ** 2 + y0 ** 2)
+              - 2 * a1i[:, None] * x0 + 2 * a1q[:, None] * y0)
+        gx = -a0i[:, None] + a4i[:, None] * x0 + a4q_n[:, None] * y0
+        cx = quant(-gx / a2[:, None], a2)
+        l2 = a2[:, None] * cx * cx + 2 * gx * cx
+        gy = a0q[:, None] + a4i[:, None] * y0 - a4q_n[:, None] * x0
+        cy = quant(-gy / a2[:, None], a2)
+        l3 = a2[:, None] * cy * cy + 2 * gy * cy
+        tot = l1 + l2 + l3
+        best = jnp.argmin(tot, axis=-1)
+        metric = jnp.take_along_axis(tot, best[:, None], axis=1)[:, 0]
+        s1 = syms_j[best]
+        s0 = (jnp.take_along_axis(cx, best[:, None], axis=1)[:, 0]
+              + 1j * jnp.take_along_axis(cy, best[:, None], axis=1)[:, 0])
+        return metric, s0, s1
+
+    m3, s0_b, s1_b = branch_rev()
+    use2 = (m2 <= m3)
+    s_est = jnp.stack([jnp.where(use2, s0_a, s0_b),
+                       jnp.where(use2, s1_a, s1_b)], axis=-1)
+    # recover per-layer constellation indices for the LLR tail
+    lay_idx = jnp.argmin(
+        jnp.abs(syms_j[None, None, :] - s_est[..., None]), axis=-1)
+    return _ml_finish(y, h, cov, modtype, s_est, lay_idx, soft)
+
+
 def _opposite_symbol_table(modtype: str) -> np.ndarray:
     """(q, qm) table: for symbol s and bit m, index of the closest symbol
     with bit m flipped — matches get_oppisite_syms (nrModulation.py:76)."""
@@ -185,5 +335,12 @@ def channel_equ_and_demod(y, h, cov, modtype: str, ceq_config: dict):
                 "ML2-soft", "ML2-IRC-soft"):
         s, nv, hard, llr = ml(y, h, cov, modtype, irc="IRC" in algo,
                               soft=not algo.endswith("hard"))
+        return s, nv, hard.reshape(-1), llr.reshape(-1)
+    if algo in ("MMSE-ML", "MMSE-ML-IRC"):
+        s, nv, hard, llr = mmse_ml(y, h, cov, modtype, irc="IRC" in algo)
+        return s, nv, hard.reshape(-1), llr.reshape(-1)
+    if algo in ("opt-rank2-ML", "opt-rank2-ML-IRC"):
+        s, nv, hard, llr = opt_rank2_ml(y, h, cov, modtype,
+                                        irc="IRC" in algo)
         return s, nv, hard.reshape(-1), llr.reshape(-1)
     raise ValueError(f"unknown CEQ algo {algo}")

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from python_5gtoolbox_tpu.ops import ofdm, filters
 from python_5gtoolbox_tpu.utils import numerology as num
+from python_5gtoolbox_tpu.utils.host import to_host
 
 
 def _slot_phase(scs: int, carrier_freq_hz: int, n_slots: int) -> np.ndarray:
@@ -77,7 +78,7 @@ def gen_dl_waveform(waveform_config: dict, carrier_config: dict,
 
     fd_waveform = grids.transpose(1, 0, 2).reshape(nant, -1)
     nfft = num.fft_size(prb)
-    return (fd_waveform, np.asarray(td_flat), np.asarray(dl),
+    return (fd_waveform, to_host(td_flat), to_host(dl),
             nfft * scs * 1000)
 
 

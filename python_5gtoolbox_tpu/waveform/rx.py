@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from python_5gtoolbox_tpu.ops import filters, ofdm
 from python_5gtoolbox_tpu.utils import numerology as num
+from python_5gtoolbox_tpu.utils.host import to_host
 
 
 def waveform_rx_processing(rx_waveform, carrier_config: dict,
@@ -31,4 +32,4 @@ def waveform_rx_processing(rx_waveform, carrier_config: dict,
     slots = jnp.swapaxes(td.reshape(nant, n_slots, slot_samp), 0, 1)
     fd = ofdm.rx_low_phy(slots, scs, bw, fc_hz)  # (S, ant, 14, n_sc)
     fd_flat = jnp.swapaxes(fd, 0, 1).reshape(nant, -1)
-    return np.asarray(td), np.asarray(fd_flat)
+    return to_host(td), to_host(fd_flat)

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from python_5gtoolbox_tpu.ops import filters, ofdm
 from python_5gtoolbox_tpu.utils import numerology as num
+from python_5gtoolbox_tpu.utils.host import to_host
 from python_5gtoolbox_tpu.waveform.dl import _slot_phase
 
 
@@ -55,7 +56,7 @@ def gen_ul_waveform(waveform_config: dict, carrier_config: dict,
     td_flat = jnp.swapaxes(td, 0, 1).reshape(nant, -1)
     ul = filters.tx_channel_filter(td_flat, scs, bw, out_rate_hz)
     fd_waveform = grids.transpose(1, 0, 2).reshape(nant, -1)
-    return fd_waveform, np.asarray(td_flat), np.asarray(ul)
+    return fd_waveform, to_host(td_flat), to_host(ul)
 
 
 def gen_ul_channel_list(waveform_config, carrier_config,

@@ -11,6 +11,9 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+from python_5gtoolbox_tpu.utils.platform import use_cpu_for_host_pipelines  # noqa: E402
+use_cpu_for_host_pipelines()
+
 import numpy as np  # noqa: E402
 
 from python_5gtoolbox_tpu.models.channel import gen_channel_model_config  # noqa: E402

@@ -9,6 +9,9 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+from python_5gtoolbox_tpu.utils.platform import use_cpu_for_host_pipelines  # noqa: E402
+use_cpu_for_host_pipelines()
+
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
