@@ -93,17 +93,42 @@ def _check_node_bp(lq, alpha, beta):
     return jnp.where(nzero == 0, bp_main, v)
 
 
+def _tpu_pallas_available() -> bool:
+    import os
+    if os.environ.get("PY5G_NO_PALLAS") == "1":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def ldpc_decode(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
-                algo: str = "min-sum", alpha: float = 1.0, beta: float = 0.0):
+                algo: str = "min-sum", alpha: float = 1.0, beta: float = 0.0,
+                backend: str = "auto"):
     """Decode (B, N) LLRs (punctured codeword, LLR>0 => bit 0).
 
     Returns (bits (B, K) int8, ok (B,) bool, full_bits (B, ncols*Zc)).
     The 2*Zc punctured systematic LLRs are internally re-inserted as 0.
 
+    backend: "auto" picks the Pallas VMEM-resident kernel for the
+    min-sum family on TPU (bit-identical, ~n_iter x less HBM traffic)
+    and the pure-XLA path otherwise; "jax"/"pallas" force one.
+
     Jitted entry: (zc, bgn, n_iter, algo) are compile-time; alpha/beta
     stay traced so the NMS/OMS hyper-parameter sweeps reuse one
     executable per shape.
     """
+    if backend == "auto":
+        # pallas wins for large liftings (measured 1.07-1.3x on v5e at
+        # zc>=128; below that lane padding to 128 wastes the VPU and the
+        # pure-XLA executable is faster)
+        backend = ("pallas" if algo != "BP" and zc >= 128
+                   and _tpu_pallas_available() else "jax")
+    if backend == "pallas":
+        from python_5gtoolbox_tpu.ops.ldpc.pallas_decode import (
+            ldpc_decode_pallas)
+        return ldpc_decode_pallas(llr_in, zc, bgn, n_iter, alpha, beta)
     return _ldpc_decode_jit(llr_in, jnp.float32(alpha), jnp.float32(beta),
                             zc=zc, bgn=bgn, n_iter=n_iter, algo=algo)
 

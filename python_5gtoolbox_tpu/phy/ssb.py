@@ -250,3 +250,88 @@ class NrSSB:
                     last = n_sc * sym + (first_prb + 20) * 12
                     usage[0, base + 240: last] = RE_USAGE["SSB-PRB-RSV"]
         return fd_slot, usage
+
+    def waveform_gen(self, waveform_config: dict) -> np.ndarray:
+        """Standalone SSB time-domain waveform at an arbitrary rate.
+
+        Behavior parity target: py5gphy/nr_ssb/nr_ssb.py:77-192
+        (NrSSB.waveform_gen) — SSB bursts placed with their lowest
+        subcarrier at the IFFT center, then frequency-shifted by the
+        pointA/NSSB_CRB/kSSB offset, CP added, per-symbol phase
+        compensated; all slots treated as DL. Unlike the slot pipeline
+        there is NO sqrt(N) IFFT scaling here (reference quirk kept).
+
+        TPU design: scheduling/encoding is plan-time; every scheduled
+        SSB symbol across the whole burst window becomes one row of a
+        single batched IFFT + phase/frequency shift on device, then a
+        host scatter assembles the (ant, samples) waveform.
+        """
+        fs = int(waveform_config["samplerate_in_mhz"] * 1e6)
+        numofslots = waveform_config["numofslots"]
+        start_sfn = waveform_config["startSFN"]
+        start_slot = waveform_config["startslot"]
+        nant = self.carrier["num_of_ant"]
+        fc = int(self.carrier["carrier_frequency_in_mhz"] * 1e6)
+        pci = self.carrier["PCI"]
+
+        point_a_15k = -self.prb_size * self.carrier["scs"] // 15 * 12 // 2
+        ssb_sc0_15k = point_a_15k + self.cfg["NSSB_CRB"] * 12 + self.cfg["kSSB"]
+
+        ssbscs = self.scs
+        ifftsize = fs // (ssbscs * 1000)
+        assert ifftsize in (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+        if ssbscs == 15:
+            cptable = np.array([320] + [288] * 6 + [320] + [288] * 6)
+        else:
+            cptable = np.array([352] + [288] * 13)
+        cptable = (cptable // (4096 // ifftsize)).astype(int)
+        slot_len = ifftsize * 15
+        slots_per_frame = 10 * ssbscs // 15
+        pmi = np.asarray(self.cfg["PMI"])[:nant, 0].astype(np.complex64)
+
+        # ---- plan: one (ant, 240) row per scheduled SSB symbol ----
+        rows, row_slot, row_sym = [], [], []
+        for m in range(numofslots):
+            sfn = start_sfn + (start_slot + m) // slots_per_frame
+            slot = (start_slot + m) % slots_per_frame
+            hrf = slot // (slots_per_frame // 2)
+            mib = gen_bch_mib(self.cfg, sfn)
+            for first_sym, issb in self.ssbs_in_slot(sfn, slot):
+                block = gen_ssb_block(mib, self.cfg, self.lmax, pci,
+                                      sfn, hrf, issb)
+                for s in range(4):
+                    rows.append(np.outer(pmi, block[s]))
+                    row_slot.append(m)
+                    row_sym.append(first_sym + s)
+
+        td = np.zeros((nant, numofslots * slot_len), np.complex64)
+        if not rows:
+            return td
+
+        # ---- device: batched IFFT + frequency shift + phase comp ----
+        spec = np.zeros((len(rows), nant, ifftsize), np.complex64)
+        spec[:, :, ifftsize // 2: ifftsize // 2 + 240] = np.stack(rows)
+        x = jnp.fft.ifftshift(jnp.asarray(spec), axes=-1)
+        if nant > 1:  # reference's axis-free ifftshift also rolls antennas
+            x = jnp.roll(x, -(nant // 2), axis=-2)
+        body = jnp.fft.ifft(x, axis=-1)
+        shift_v = np.exp(1j * 2 * np.pi * ssb_sc0_15k * 15000 / fs
+                         * np.arange(ifftsize)).astype(np.complex64)
+        body = body * shift_v
+        sym_arr = np.asarray(row_sym)
+        cps = cptable[sym_arr]
+        t_off = (np.cumsum(np.concatenate([[0], cptable[:-1]]))[sym_arr]
+                 + ifftsize * sym_arr)
+        if fc:
+            pc = np.exp(-1j * 2 * np.pi * (fc / fs)
+                        * (t_off + cps)).astype(np.complex64)
+            body = body * jnp.asarray(pc)[:, None, None]
+        body = np.asarray(body.astype(jnp.complex64))
+
+        # ---- host scatter: CP prepend + placement ----
+        for i in range(len(rows)):
+            cp = int(cps[i])
+            start = row_slot[i] * slot_len + int(t_off[i])
+            td[:, start: start + cp] = body[i, :, -cp:]
+            td[:, start + cp: start + cp + ifftsize] = body[i]
+        return td
