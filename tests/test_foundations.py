@@ -183,3 +183,14 @@ def test_lowpapr(lp_goldens, i):
     u, v, a, m = LP_CASES[i]
     got = lp_mod.lowpapr_seq(u, v, a, m)
     np.testing.assert_allclose(got, lp_goldens[f"seq_{i}"], atol=2e-5)
+
+
+def test_stage_profiler():
+    import time as _t
+    from python_5gtoolbox_tpu.utils.profiling import StageProfiler
+    prof = StageProfiler()
+    with prof.stage("x", items=100, unit="cw"):
+        _t.sleep(0.01)
+    assert prof.stats["x"].calls == 1
+    assert prof.rate("x") > 0
+    assert "cw/s" in prof.report()

@@ -106,3 +106,37 @@ def test_ssb_only_waveform(ssb_wave_golden):
     np.testing.assert_allclose(fd, ssb_wave_golden["fd"], atol=2e-5)
     np.testing.assert_allclose(td, ssb_wave_golden["td"], atol=2e-4)
     np.testing.assert_allclose(dl, ssb_wave_golden["dl"], atol=2e-4)
+
+
+def _gen_ssb_standalone_golden():
+    from py5gphy.nr_ssb import nr_ssb
+    carrier, ssb_cfg, _ = _ref_configs()
+    out = {}
+    for i, (nant, sr, fc) in enumerate([(2, 30.72, 3840), (1, 61.44, 0),
+                                        (4, 30.72, 3610.08)]):
+        c = dict(carrier, num_of_ant=nant, carrier_frequency_in_mhz=fc)
+        nrssb = nr_ssb.NrSSB(c, dict(ssb_cfg))
+        wf = dict(samplerate_in_mhz=sr, numofslots=4, startSFN=0,
+                  startslot=0)
+        out[f"td_{i}"] = nrssb.waveform_gen(wf)
+    return out
+
+
+@pytest.fixture(scope="module")
+def ssb_standalone_golden():
+    return get_golden("ssb_standalone_waveform", _gen_ssb_standalone_golden)
+
+
+def test_ssb_waveform_gen(ssb_standalone_golden):
+    carrier0 = get_default_config("dl_carrier")
+    ssb_cfg = get_default_config("ssb")
+    for i, (nant, sr, fc) in enumerate([(2, 30.72, 3840), (1, 61.44, 0),
+                                        (4, 30.72, 3610.08)]):
+        carrier = merged(carrier0, dict(num_of_ant=nant,
+                                        carrier_frequency_in_mhz=fc))
+        ch = ssb_mod.NrSSB(carrier, ssb_cfg)
+        td = ch.waveform_gen(dict(samplerate_in_mhz=sr, numofslots=4,
+                                  startSFN=0, startslot=0))
+        golden = ssb_standalone_golden[f"td_{i}"]
+        assert td.shape == golden.shape
+        np.testing.assert_allclose(td, golden, atol=2e-6)
