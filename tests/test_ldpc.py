@@ -240,3 +240,31 @@ def test_ldpc_roundtrip_noiseless():
     bits, ok, _ = L.ldpc_decode(llr, zc, bgn, 5)
     assert np.all(np.asarray(ok))
     np.testing.assert_array_equal(np.asarray(bits), ck)
+
+
+def test_bler_baseline_mixed_ms():
+    """Statistical anchor vs SURVEY.md section 6 BLER baselines.
+
+    Reference out/ldpc_decode_result_all.pickle: Zc=10 bgn=1, mixed-MS
+    alpha=0.8 beta=0.3 L=32 -> BLER 0.277 @ -1.0 dB and 0.070 @ 0.0 dB.
+    Bit-parity vs the reference decoder is asserted elsewhere on
+    identical LLRs; this checks the end-to-end encode->AWGN->decode
+    statistics land on the same waterfall.
+    """
+    import jax.numpy as jnp
+    from python_5gtoolbox_tpu.ops.ldpc.encode import ldpc_encode
+    from python_5gtoolbox_tpu.ops.ldpc.decode import ldpc_decode
+
+    rng = np.random.default_rng(42)
+    zc, bgn, B = 10, 1, 400
+    K = 22 * zc
+    bits = rng.integers(0, 2, size=(B, K)).astype(np.int8)
+    dn = np.array(ldpc_encode(jnp.asarray(bits), bgn))
+    for snr_db, lo, hi in [(-1.0, 0.15, 0.45), (0.0, 0.02, 0.18)]:
+        sigma2 = 10 ** (-snr_db / 10)
+        noisy = (1 - 2.0 * dn) + rng.normal(size=dn.shape) * np.sqrt(sigma2)
+        llr = ((2 / sigma2) * noisy).astype(np.float32)
+        dec, ok, _ = ldpc_decode(jnp.asarray(llr), zc, bgn, 32, "min-sum",
+                                 0.8, 0.3, backend="jax")
+        blk_err = np.mean(np.any(np.array(dec) != bits, axis=1))
+        assert lo <= blk_err <= hi, (snr_db, blk_err)

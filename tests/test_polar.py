@@ -205,3 +205,33 @@ def test_sc_decoder():
     ck_hat, ok = P.polar_decode_scl(llr_n, E, K, 1, nmax, iil, crc_len, 0, 0)
     assert bool(np.asarray(ok)[0])
     np.testing.assert_array_equal(np.asarray(ck_hat)[0], ck)
+
+
+def test_bler_baseline_scl8():
+    """Statistical anchor vs SURVEY.md section 6 polar BLER baselines.
+
+    Reference out/polar_decode_result_all.pickle: K=64 N->E=128 UL
+    (CRC11), SCL L=8 -> BLER 0.27 @ 2.0 dB, 0.105 @ 2.5 dB.
+    """
+    import jax.numpy as jnp
+    from python_5gtoolbox_tpu.ops import crc as crc_ops
+    from python_5gtoolbox_tpu.ops.polar.encode import polar_encode_np
+    from python_5gtoolbox_tpu.ops.polar.ratematch import ratematch_polar
+    from python_5gtoolbox_tpu.ops.polar.decode import polar_decode_scl
+
+    rng = np.random.default_rng(7)
+    K, E, B = 64, 128, 200
+    payload = rng.integers(0, 2, size=(B, K - 11)).astype(np.int8)
+    enc = np.stack([
+        np.asarray(ratematch_polar(jnp.asarray(polar_encode_np(
+            crc_ops.crc_encode_np(payload[i], "11"), E, 10, 0)[None]),
+            K, E, 1))[0]
+        for i in range(B)])
+    snr_db = 2.0
+    sigma2 = 10 ** (-snr_db / 10)
+    noisy = (1 - 2.0 * enc) + rng.normal(size=enc.shape) * np.sqrt(sigma2)
+    llr = ((2 / sigma2) * noisy).astype(np.float32)
+    bits, ok, _ = polar_decode_scl(jnp.asarray(llr), E, K, 8, n_max=10,
+                                   i_il=0, crc_len=11, i_bil=1)
+    blk_err = np.mean(np.any(np.array(bits)[:, :K - 11] != payload, axis=1))
+    assert 0.13 <= blk_err <= 0.45, blk_err
