@@ -34,6 +34,11 @@ def _halo_exchange(x: jnp.ndarray, hl: int, hr: int, axis: str) -> jnp.ndarray:
     leaves targets with no source as zero), matching global zero-pad.
     """
     n = jax.lax.axis_size(axis)
+    if x.shape[-1] < max(hl, hr):
+        raise ValueError(
+            f"per-device block of {x.shape[-1]} samples is smaller than the "
+            f"filter halo ({max(hl, hr)}); give each of the {n} devices at "
+            f"least max(hl, hr) samples (use fewer shards or longer input)")
     parts = []
     if hl:
         parts.append(jax.lax.ppermute(

@@ -284,7 +284,9 @@ class NrSSB:
             cptable = np.array([320] + [288] * 6 + [320] + [288] * 6)
         else:
             cptable = np.array([352] + [288] * 13)
-        cptable = (cptable // (4096 // ifftsize)).astype(int)
+        # scale the 4096-base CP table to this IFFT size; multiply first so
+        # ifftsize > 4096 scales CPs *up* instead of floor-dividing by zero
+        cptable = (cptable * ifftsize // 4096).astype(int)
         slot_len = ifftsize * 15
         slots_per_frame = 10 * ssbscs // 15
         pmi = np.asarray(self.cfg["PMI"])[:nant, 0].astype(np.complex64)

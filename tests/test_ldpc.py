@@ -246,21 +246,27 @@ def test_bler_baseline_mixed_ms():
     """Statistical anchor vs SURVEY.md section 6 BLER baselines.
 
     Reference out/ldpc_decode_result_all.pickle: Zc=10 bgn=1, mixed-MS
-    alpha=0.8 beta=0.3 L=32 -> BLER 0.277 @ -1.0 dB and 0.070 @ 0.0 dB.
-    Bit-parity vs the reference decoder is asserted elsewhere on
-    identical LLRs; this checks the end-to-end encode->AWGN->decode
-    statistics land on the same waterfall.
+    alpha=0.8 beta=0.3 L=32, SNR grid arange(-1, 1.5, 0.5) (the grid is
+    set in /root/reference/scripts/sim_ldpc_decoder.py:37) -> BLER
+    0.277 @ -1.0 dB, 0.070 @ -0.5 dB, 0.0092 @ 0.0 dB. Bit-parity vs
+    the reference decoder is asserted elsewhere on identical LLRs (and
+    exhaustively by tools/bler_parity.py -> out/bler_parity.json); this
+    checks the end-to-end encode->AWGN->decode statistics land on the
+    same waterfall. Bands are reference-p +/- ~3.5 sigma binomial at
+    the batch size used per point.
     """
     import jax.numpy as jnp
     from python_5gtoolbox_tpu.ops.ldpc.encode import ldpc_encode
     from python_5gtoolbox_tpu.ops.ldpc.decode import ldpc_decode
 
     rng = np.random.default_rng(42)
-    zc, bgn, B = 10, 1, 400
+    zc, bgn = 10, 1
     K = 22 * zc
-    bits = rng.integers(0, 2, size=(B, K)).astype(np.int8)
-    dn = np.array(ldpc_encode(jnp.asarray(bits), bgn))
-    for snr_db, lo, hi in [(-1.0, 0.15, 0.45), (0.0, 0.02, 0.18)]:
+    for snr_db, B, lo, hi in [(-1.0, 400, 0.19, 0.36),
+                              (-0.5, 800, 0.038, 0.105),
+                              (0.0, 3000, 0.003, 0.016)]:
+        bits = rng.integers(0, 2, size=(B, K)).astype(np.int8)
+        dn = np.array(ldpc_encode(jnp.asarray(bits), bgn))
         sigma2 = 10 ** (-snr_db / 10)
         noisy = (1 - 2.0 * dn) + rng.normal(size=dn.shape) * np.sqrt(sigma2)
         llr = ((2 / sigma2) * noisy).astype(np.float32)

@@ -127,6 +127,58 @@ def ssb_standalone_golden():
     return get_golden("ssb_standalone_waveform", _gen_ssb_standalone_golden)
 
 
+HIFS_CASES = [
+    # (nant, samplerate_mhz, fc_mhz, ssb_scs) -> ifftsize 8192 (> 4096 CP
+    # base), the case where an integer floor-divide CP scale would yield
+    # all-zero CP lengths (reference uses float division)
+    (2, 245.76, 3840, 30),
+    (1, 122.88, 1900.05, 15),
+]
+
+
+def _gen_ssb_hifs_golden():
+    from py5gphy.nr_ssb import nr_ssb
+    carrier0, ssb0, _ = _ref_configs()
+    out = {}
+    for i, (nant, sr, fc, ssbscs) in enumerate(HIFS_CASES):
+        c = dict(carrier0, num_of_ant=nant, carrier_frequency_in_mhz=fc)
+        ssb_cfg = dict(ssb0)
+        if ssbscs == 15:
+            c["scs"] = 15
+            ssb_cfg["SSBPattern"] = "Case A"
+            ssb_cfg["MIB"] = dict(ssb_cfg["MIB"], subCarrierSpacingCommon=0)
+        nrssb = nr_ssb.NrSSB(c, ssb_cfg)
+        wf = dict(samplerate_in_mhz=sr, numofslots=2, startSFN=0, startslot=0)
+        out[f"td_{i}"] = nrssb.waveform_gen(wf)
+    return out
+
+
+@pytest.fixture(scope="module")
+def ssb_hifs_golden():
+    return get_golden("ssb_waveform_hifs", _gen_ssb_hifs_golden)
+
+
+def test_ssb_waveform_gen_large_ifft(ssb_hifs_golden):
+    """waveform_gen at ifftsize 8192 (CP table scaled UP from 4096 base)."""
+    carrier0 = get_default_config("dl_carrier")
+    ssb0 = get_default_config("ssb")
+    for i, (nant, sr, fc, ssbscs) in enumerate(HIFS_CASES):
+        carrier = merged(carrier0, dict(num_of_ant=nant,
+                                        carrier_frequency_in_mhz=fc))
+        ssb_cfg = dict(ssb0)
+        if ssbscs == 15:
+            carrier["scs"] = 15
+            ssb_cfg["SSBPattern"] = "Case A"
+            ssb_cfg["MIB"] = dict(ssb_cfg["MIB"], subCarrierSpacingCommon=0)
+        ch = ssb_mod.NrSSB(carrier, ssb_cfg)
+        td = ch.waveform_gen(dict(samplerate_in_mhz=sr, numofslots=2,
+                                  startSFN=0, startslot=0))
+        golden = ssb_hifs_golden[f"td_{i}"]
+        assert td.shape == golden.shape
+        assert np.abs(golden).max() > 0
+        np.testing.assert_allclose(td, golden, atol=2e-6)
+
+
 def test_ssb_waveform_gen(ssb_standalone_golden):
     carrier0 = get_default_config("dl_carrier")
     ssb_cfg = get_default_config("ssb")

@@ -70,8 +70,16 @@ def aclr_db(wf: np.ndarray, fs: float, bw_hz: float) -> float:
 
 
 def _fir_evm_aclr(scs: int, bw: int, numtaps: int,
-                  rng: np.random.Generator) -> tuple[float, float]:
-    """Push a full random-QPSK grid TX->FIR->RX; return (EVM %, ACLR dB)."""
+                  seed: int = 0) -> tuple[float, float]:
+    """Push a full random-QPSK grid TX->FIR->RX; return (EVM %, ACLR dB).
+
+    The rng is re-seeded per call so every candidate tap count is scored
+    on the identical input grid, and ACLR is measured after upsampling
+    through the production halfband chain so the adjacent-channel band
+    [bw/2, 3bw/2] lies inside Nyquist (at the 1x carrier-native rate it
+    extends past fs/2 for most (scs, bw) and would be truncated).
+    """
+    rng = np.random.default_rng(seed)
     prb = num.carrier_prb_size(scs, bw)
     n_sc = 12 * prb
     grid = ((1 - 2 * rng.integers(0, 2, (1, 1, 14, n_sc)))
@@ -84,7 +92,11 @@ def _fir_evm_aclr(scs: int, bw: int, numtaps: int,
     err = np.asarray(rx) - grid[0]
     evm = float(np.sqrt(np.mean(np.abs(err) ** 2)
                         / np.mean(np.abs(grid) ** 2)) * 100)
-    return evm, aclr_db(filt, fs, bw * 1e6)
+    hb = filters.halfband_coeff()
+    y, fs_out = jnp.asarray(filt), fs
+    while fs_out < 3 * bw * 1e6 and fs_out < 245.76e6:
+        y, fs_out = filters.hb_upsample2(y, hb), fs_out * 2
+    return evm, aclr_db(np.asarray(y), fs_out, bw * 1e6)
 
 
 def search_fir_taps(scs: int, bw: int,
@@ -93,11 +105,10 @@ def search_fir_taps(scs: int, bw: int,
                     aclr_target_db: float = -45.0,
                     seed: int = 0) -> dict:
     """Smallest FIR tap count meeting the EVM and ACLR targets."""
-    rng = np.random.default_rng(seed)
     results = {}
     best = None
     for nt in candidates:
-        evm, aclr = _fir_evm_aclr(scs, bw, nt, rng)
+        evm, aclr = _fir_evm_aclr(scs, bw, nt, seed)
         results[nt] = {"evm_pct": evm, "aclr_db": aclr}
         if best is None and evm <= evm_target_pct and aclr <= aclr_target_db:
             best = nt
