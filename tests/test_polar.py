@@ -207,31 +207,46 @@ def test_sc_decoder():
     np.testing.assert_array_equal(np.asarray(ck_hat)[0], ck)
 
 
-def test_bler_baseline_scl8():
+def _scl_bler_at(rng, K, E, B, snr_db, list_size):
+    """Full UL CA-polar chain (CRC11, nMax=10, iBIL=1) BLER at one SNR.
+
+    Stimulus matches the reference's self-test harness
+    (py5gphy/polar/nr_polar_decoder.py:46 for_test_5g_polar_encoder):
+    BPSK 1-2b, AWGN sigma = 10^(-snr/20), LLR = 2x/sigma^2. NOTE the
+    sim's "K" is the payload length BEFORE CRC (randint(2, size=K)),
+    so the decoder K here is A + 11.
+    """
+    from python_5gtoolbox_tpu.ops.polar.construct import gen_n_value
+
+    A = K - 11
+    payload = rng.integers(0, 2, size=(B, A)).astype(np.int8)
+    ck = np.stack([crc_ops.crc_encode_np(row, "11") for row in payload])
+    enc = np.stack([P.polar_encode_np(row, E, 10, 0) for row in ck])
+    fe = np.asarray(P.polar_ratematch(jnp.asarray(enc), K, E, 1))
+    sigma = 10 ** (-snr_db / 20)
+    rx = (1 - 2.0 * fe) + rng.normal(size=fe.shape) * sigma
+    llr_e = (2.0 * rx / sigma ** 2).astype(np.float32)
+    N, _ = gen_n_value(K, E, 10)
+    llr_n = P.polar_raterecover(jnp.asarray(llr_e), K, N, 1)
+    ck_hat, ok = P.polar_decode_scl(llr_n, E, K, list_size, 10, 0, 11, 0, 0)
+    err = np.any(np.asarray(ck_hat) != ck, axis=1) | ~np.asarray(ok)
+    return float(np.mean(err))
+
+
+def test_bler_baseline_scl8_scl32():
     """Statistical anchor vs SURVEY.md section 6 polar BLER baselines.
 
-    Reference out/polar_decode_result_all.pickle: K=64 N->E=128 UL
-    (CRC11), SCL L=8 -> BLER 0.27 @ 2.0 dB, 0.105 @ 2.5 dB.
+    Reference out/polar_decode_result_all.pickle, payload 64 (decoder
+    K = 64 + CRC11 = 75), N=E=128, UL (nMax=10, iIL=0, iBIL=1); the
+    published SNR grid is arange(0.5, 4, 0.5), so index 3 = 2.0 dB:
+    SCL L=8 -> BLER 0.105 @ 2.0 dB; SCL L=32 -> 0.040 @ 2.0 dB.
+    Bands are the published value +/- ~4 binomial sigma at B=400 plus
+    calibration slack.
     """
-    import jax.numpy as jnp
-    from python_5gtoolbox_tpu.ops import crc as crc_ops
-    from python_5gtoolbox_tpu.ops.polar.encode import polar_encode_np
-    from python_5gtoolbox_tpu.ops.polar.ratematch import ratematch_polar
-    from python_5gtoolbox_tpu.ops.polar.decode import polar_decode_scl
-
     rng = np.random.default_rng(7)
-    K, E, B = 64, 128, 200
-    payload = rng.integers(0, 2, size=(B, K - 11)).astype(np.int8)
-    enc = np.stack([
-        np.asarray(ratematch_polar(jnp.asarray(polar_encode_np(
-            crc_ops.crc_encode_np(payload[i], "11"), E, 10, 0)[None]),
-            K, E, 1))[0]
-        for i in range(B)])
-    snr_db = 2.0
-    sigma2 = 10 ** (-snr_db / 10)
-    noisy = (1 - 2.0 * enc) + rng.normal(size=enc.shape) * np.sqrt(sigma2)
-    llr = ((2 / sigma2) * noisy).astype(np.float32)
-    bits, ok, _ = polar_decode_scl(jnp.asarray(llr), E, K, 8, n_max=10,
-                                   i_il=0, crc_len=11, i_bil=1)
-    blk_err = np.mean(np.any(np.array(bits)[:, :K - 11] != payload, axis=1))
-    assert 0.13 <= blk_err <= 0.45, blk_err
+    K, E, B, snr_db = 75, 128, 400, 2.0
+    bler8 = _scl_bler_at(rng, K, E, B, snr_db, 8)
+    bler32 = _scl_bler_at(np.random.default_rng(8), K, E, B, snr_db, 32)
+    assert 0.04 <= bler8 <= 0.19, bler8
+    assert 0.004 <= bler32 <= 0.10, bler32
+    assert bler32 <= bler8, (bler8, bler32)
