@@ -105,7 +105,7 @@ def _tpu_pallas_available() -> bool:
 
 def ldpc_decode(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
                 algo: str = "min-sum", alpha: float = 1.0, beta: float = 0.0,
-                backend: str = "auto"):
+                backend: str = "auto", schedule: str = "flooded"):
     """Decode (B, N) LLRs (punctured codeword, LLR>0 => bit 0).
 
     Returns (bits (B, K) int8, ok (B,) bool, full_bits (B, ncols*Zc)).
@@ -115,10 +115,22 @@ def ldpc_decode(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
     min-sum family on TPU (bit-identical, ~n_iter x less HBM traffic)
     and the pure-XLA path otherwise; "jax"/"pallas" force one.
 
-    Jitted entry: (zc, bgn, n_iter, algo) are compile-time; alpha/beta
-    stay traced so the NMS/OMS hyper-parameter sweeps reuse one
-    executable per shape.
+    schedule: "flooded" is the reference-parity schedule
+    (py5gphy/ldpc/nr_ldpc_decode.py:178 — all check rows read the same
+    LQ). "layered" sweeps check rows sequentially, each row seeing the
+    LQ already updated by the rows before it within the same iteration;
+    it converges in ~half the iterations at the same BLER (validated on
+    the SURVEY section 6 curves in tests/test_ldpc.py), which halves
+    decode latency for the same target. min-sum family only.
+
+    Jitted entry: (zc, bgn, n_iter, algo, schedule) are compile-time;
+    alpha/beta stay traced so the NMS/OMS hyper-parameter sweeps reuse
+    one executable per shape.
     """
+    if schedule not in ("flooded", "layered"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if schedule == "layered" and algo == "BP":
+        raise ValueError("layered schedule is min-sum family only")
     if backend == "auto":
         # pallas wins for large liftings (measured 1.07-1.3x on v5e at
         # zc>=128; below that lane padding to 128 wastes the VPU and the
@@ -128,13 +140,17 @@ def ldpc_decode(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
     if backend == "pallas":
         from python_5gtoolbox_tpu.ops.ldpc.pallas_decode import (
             ldpc_decode_pallas)
-        return ldpc_decode_pallas(llr_in, zc, bgn, n_iter, alpha, beta)
+        return ldpc_decode_pallas(llr_in, zc, bgn, n_iter, alpha, beta,
+                                  schedule=schedule)
     return _ldpc_decode_jit(llr_in, jnp.float32(alpha), jnp.float32(beta),
-                            zc=zc, bgn=bgn, n_iter=n_iter, algo=algo)
+                            zc=zc, bgn=bgn, n_iter=n_iter, algo=algo,
+                            schedule=schedule)
 
 
-@functools.partial(jax.jit, static_argnames=("zc", "bgn", "n_iter", "algo"))
-def _ldpc_decode_jit(llr_in, alpha, beta, *, zc, bgn, n_iter, algo):
+@functools.partial(jax.jit, static_argnames=("zc", "bgn", "n_iter", "algo",
+                                             "schedule"))
+def _ldpc_decode_jit(llr_in, alpha, beta, *, zc, bgn, n_iter, algo,
+                     schedule="flooded"):
     rows, nrows, ncols = _graph(bgn, zc)
     B = llr_in.shape[0]
     K = (22 if bgn == 1 else 10) * zc
@@ -170,25 +186,48 @@ def _ldpc_decode_jit(llr_in, alpha, beta, *, zc, bgn, n_iter, algo):
         out_bits = jnp.where(newly[:, None, None], bits, out_bits)
         done = done | ok
 
-        # check-node update per row (flooded: all rows see the same LQ)
-        new_lr_rows = []
-        e0 = 0
-        for r, edges in enumerate(rows):
-            lq_edges = jnp.stack(
-                [_fwd(lq_post[:, c], p) for (c, p) in edges], axis=1)
-            lr_row = jax.lax.dynamic_slice_in_dim(lr, e0, len(edges), axis=1)
-            new_lr_rows.append(check_node(lq_edges - lr_row, alpha, beta))
-            e0 += len(edges)
-        new_lr = jnp.concatenate(new_lr_rows, axis=1)
+        if schedule == "flooded":
+            # check-node update per row (flooded: all rows see the same LQ)
+            new_lr_rows = []
+            e0 = 0
+            for r, edges in enumerate(rows):
+                lq_edges = jnp.stack(
+                    [_fwd(lq_post[:, c], p) for (c, p) in edges], axis=1)
+                lr_row = jax.lax.dynamic_slice_in_dim(
+                    lr, e0, len(edges), axis=1)
+                new_lr_rows.append(check_node(lq_edges - lr_row, alpha, beta))
+                e0 += len(edges)
+            new_lr = jnp.concatenate(new_lr_rows, axis=1)
 
-        # variable-node update: LQ = llr0 + sum of incoming messages
-        acc = [llr0[:, c] for c in range(ncols)]
-        e0 = 0
-        for r, edges in enumerate(rows):
-            for k, (c, p) in enumerate(edges):
-                acc[c] = acc[c] + _bwd(new_lr[:, e0 + k], p)
-            e0 += len(edges)
-        new_lq = jnp.stack(acc, axis=1)
+            # variable-node update: LQ = llr0 + sum of incoming messages
+            acc = [llr0[:, c] for c in range(ncols)]
+            e0 = 0
+            for r, edges in enumerate(rows):
+                for k, (c, p) in enumerate(edges):
+                    acc[c] = acc[c] + _bwd(new_lr[:, e0 + k], p)
+                e0 += len(edges)
+            new_lq = jnp.stack(acc, axis=1)
+        else:
+            # layered: rows sweep sequentially over a live LQ; each
+            # row's posterior update LQ[c] = ext + msg lands before the
+            # next row reads it (standard layered/serial-C schedule)
+            lq = lq_post
+            new_lr_rows = []
+            e0 = 0
+            for r, edges in enumerate(rows):
+                lq_edges = jnp.stack(
+                    [_fwd(lq[:, c], p) for (c, p) in edges], axis=1)
+                lr_row = jax.lax.dynamic_slice_in_dim(
+                    lr, e0, len(edges), axis=1)
+                ext = lq_edges - lr_row
+                msg = check_node(ext, alpha, beta)
+                new_lr_rows.append(msg)
+                upd = ext + msg
+                for k, (c, p) in enumerate(edges):
+                    lq = lq.at[:, c].set(_bwd(upd[:, k], p))
+                e0 += len(edges)
+            new_lq = lq
+            new_lr = jnp.concatenate(new_lr_rows, axis=1)
 
         keep = done[:, None, None]
         lq_post = jnp.where(keep, lq_post, new_lq)

@@ -102,7 +102,7 @@ def _check_node_minsum(ext, alpha, beta):
     return msgs
 
 
-def _make_kernel(bgn: int, zc: int, n_iter: int):
+def _make_kernel(bgn: int, zc: int, n_iter: int, schedule: str = "flooded"):
     rows, nrows, ncols = _graph(bgn, zc)
     edge_off = np.cumsum([0] + [len(r) for r in rows])
 
@@ -137,24 +137,44 @@ def _make_kernel(bgn: int, zc: int, n_iter: int):
                                     bits.astype(jnp.int8), bits_ref[:])
             done = jnp.maximum(done, ok)
 
-            # check-node update (flooded: every row sees the same lq_v,
-            # already read above) with per-row LR writes — each row's LR
-            # slice is read before being overwritten. Runs even for
-            # converged codewords (their output bits are frozen above;
-            # predicated skip trips the axon remote Mosaic compiler).
-            acc = [llr_ref[:, c, :] for c in range(ncols)]
-            for r, edges in enumerate(rows):
-                ext = [
-                    _roll_fwd(lq_v[:, c, :], p, zc)
-                    - lr[:, edge_off[r] + k, :]
-                    for k, (c, p) in enumerate(edges)]
-                msgs = _check_node_minsum(ext, alpha, beta)
-                lr[:, edge_off[r]:edge_off[r + 1], :] = jnp.stack(
-                    msgs, axis=1)
-                # variable-node accumulate: LQ = llr0 + sum incoming
-                for k, (c, p) in enumerate(edges):
-                    acc[c] = acc[c] + _roll_bwd(msgs[k], p, zc)
-            lq[:] = jnp.stack(acc, axis=1)
+            if schedule == "flooded":
+                # check-node update (flooded: every row sees the same
+                # lq_v, already read above) with per-row LR writes —
+                # each row's LR slice is read before being overwritten.
+                # Runs even for converged codewords (their output bits
+                # are frozen above; predicated skip trips the axon
+                # remote Mosaic compiler).
+                acc = [llr_ref[:, c, :] for c in range(ncols)]
+                for r, edges in enumerate(rows):
+                    ext = [
+                        _roll_fwd(lq_v[:, c, :], p, zc)
+                        - lr[:, edge_off[r] + k, :]
+                        for k, (c, p) in enumerate(edges)]
+                    msgs = _check_node_minsum(ext, alpha, beta)
+                    lr[:, edge_off[r]:edge_off[r + 1], :] = jnp.stack(
+                        msgs, axis=1)
+                    # variable-node accumulate: LQ = llr0 + sum incoming
+                    for k, (c, p) in enumerate(edges):
+                        acc[c] = acc[c] + _roll_bwd(msgs[k], p, zc)
+                lq[:] = jnp.stack(acc, axis=1)
+            else:
+                # layered (serial-C) sweep: each row reads the LQ the
+                # previous rows just wrote, posterior update per column
+                # LQ[c] = roll_bwd(ext + msg). VMEM-resident in-place
+                # writes make this natural in the kernel (the pure-XLA
+                # path needs a scatter per column).
+                cur = {c: lq_v[:, c, :] for c in range(ncols)}
+                for r, edges in enumerate(rows):
+                    ext = [
+                        _roll_fwd(cur[c], p, zc)
+                        - lr[:, edge_off[r] + k, :]
+                        for k, (c, p) in enumerate(edges)]
+                    msgs = _check_node_minsum(ext, alpha, beta)
+                    lr[:, edge_off[r]:edge_off[r + 1], :] = jnp.stack(
+                        msgs, axis=1)
+                    for k, (c, p) in enumerate(edges):
+                        cur[c] = _roll_bwd(ext[k] + msgs[k], p, zc)
+                lq[:] = jnp.stack([cur[c] for c in range(ncols)], axis=1)
             return done
 
         bt = llr_ref.shape[0]
@@ -174,8 +194,9 @@ def _make_kernel(bgn: int, zc: int, n_iter: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("zc", "bgn", "n_iter", "interpret"))
-def _decode_jit(llr_in, alpha, beta, *, zc, bgn, n_iter, interpret=False):
+    jax.jit, static_argnames=("zc", "bgn", "n_iter", "schedule", "interpret"))
+def _decode_jit(llr_in, alpha, beta, *, zc, bgn, n_iter, schedule="flooded",
+                interpret=False):
     rows, nrows, ncols = _graph(bgn, zc)
     n_edges = sum(len(r) for r in rows)
     B = llr_in.shape[0]
@@ -188,7 +209,7 @@ def _decode_jit(llr_in, alpha, beta, *, zc, bgn, n_iter, interpret=False):
     llr0 = jnp.pad(llr0, ((0, Bp - B), (0, 0), (0, 0)))
     ab = jnp.stack([alpha, beta]).astype(jnp.float32)[None, :]
 
-    kernel = _make_kernel(bgn, zc, n_iter)
+    kernel = _make_kernel(bgn, zc, n_iter, schedule)
     bits3, ok = pl.pallas_call(
         kernel,
         grid=(Bp // bt,),
@@ -222,11 +243,14 @@ def _decode_jit(llr_in, alpha, beta, *, zc, bgn, n_iter, interpret=False):
 
 def ldpc_decode_pallas(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
                        alpha: float = 1.0, beta: float = 0.0,
-                       interpret: bool = False):
+                       schedule: str = "flooded", interpret: bool = False):
     """Decode (B, N) punctured-codeword LLRs with the Pallas kernel.
 
     Same contract as ops.ldpc.decode.ldpc_decode (min-sum family only):
     returns (bits (B, K) int8, ok (B,) bool, full_bits (B, ncols*Zc)).
+    schedule="layered" sweeps check rows serially within an iteration
+    (~2x convergence per iteration vs "flooded"; see decode.ldpc_decode).
     """
     return _decode_jit(llr_in, jnp.float32(alpha), jnp.float32(beta),
-                       zc=zc, bgn=bgn, n_iter=n_iter, interpret=interpret)
+                       zc=zc, bgn=bgn, n_iter=n_iter, schedule=schedule,
+                       interpret=interpret)

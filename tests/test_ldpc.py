@@ -274,3 +274,33 @@ def test_bler_baseline_mixed_ms():
                                  0.8, 0.3, backend="jax")
         blk_err = np.mean(np.any(np.array(dec) != bits, axis=1))
         assert lo <= blk_err <= hi, (snr_db, blk_err)
+
+
+def test_bler_layered_half_iterations():
+    """Layered schedule reaches the flooded-L=32 BLER with L=16.
+
+    The serial-C layered sweep converges ~2x per iteration, so 16
+    layered iterations must land inside the same mixed-MS L=32 curve
+    band as test_bler_baseline_mixed_ms (reference 0.070 @ -0.5 dB,
+    Zc=10 bgn=1), and 32 layered iterations must not be worse.
+    """
+    import jax.numpy as jnp
+    from python_5gtoolbox_tpu.ops.ldpc.encode import ldpc_encode
+    from python_5gtoolbox_tpu.ops.ldpc.decode import ldpc_decode
+
+    rng = np.random.default_rng(11)
+    zc, bgn, snr_db, B = 10, 1, -0.5, 800
+    K = 22 * zc
+    bits = rng.integers(0, 2, size=(B, K)).astype(np.int8)
+    dn = np.array(ldpc_encode(jnp.asarray(bits), bgn))
+    sigma2 = 10 ** (-snr_db / 10)
+    noisy = (1 - 2.0 * dn) + rng.normal(size=dn.shape) * np.sqrt(sigma2)
+    llr = jnp.asarray((2 / sigma2) * noisy, jnp.float32)
+    dec16, _, _ = ldpc_decode(llr, zc, bgn, 16, "min-sum", 0.8, 0.3,
+                              backend="jax", schedule="layered")
+    err16 = np.mean(np.any(np.array(dec16) != bits, axis=1))
+    assert 0.030 <= err16 <= 0.105, err16
+    dec32, _, _ = ldpc_decode(llr, zc, bgn, 32, "min-sum", 0.8, 0.3,
+                              backend="jax", schedule="layered")
+    err32 = np.mean(np.any(np.array(dec32) != bits, axis=1))
+    assert err32 <= err16, (err16, err32)

@@ -55,6 +55,27 @@ def test_pallas_nonconverged_parity():
     assert np.array_equal(np.array(ok1), np.array(ok2))
 
 
+def test_pallas_layered_matches_xla():
+    """Layered-schedule kernel == layered pure-XLA decoder, bit-exactly."""
+    rng = np.random.default_rng(21)
+    zc, bgn, alpha, beta = 16, 2, 0.8, 0.3
+    K = 10 * zc
+    bits = rng.integers(0, 2, size=(10, K)).astype(np.int8)
+    dn = np.array(ldpc_encode(jnp.asarray(bits), bgn))
+    sigma2 = 10 ** (-1.0 / 10)  # low SNR: mix of converged/unconverged
+    llr = ((2 / sigma2) * (1 - 2.0 * dn
+                           + rng.normal(size=dn.shape) * np.sqrt(sigma2))
+           ).astype(np.float32)
+    b1, ok1, f1 = ldpc_decode(jnp.asarray(llr), zc, bgn, 6, "min-sum",
+                              alpha, beta, backend="jax",
+                              schedule="layered")
+    b2, ok2, f2 = ldpc_decode_pallas(jnp.asarray(llr), zc, bgn, 6,
+                                     alpha, beta, schedule="layered",
+                                     interpret=True)
+    assert np.array_equal(np.array(f1), np.array(f2))
+    assert np.array_equal(np.array(ok1), np.array(ok2))
+
+
 def test_batch_tile_vmem_budget():
     for zc in (2, 52, 128, 240, 384):
         for bgn in (1, 2):
