@@ -123,7 +123,13 @@ def format1_wm_list(hopping: str, nsym: int, occ: int):
 
 
 class _PucchBase:
+    FMT = None  # set per subclass; drives construction-time validation
+
     def __init__(self, carrier_config, cfg):
+        if self.FMT is not None:
+            from python_5gtoolbox_tpu.phy.validate import (
+                validate_pucch_config)
+            validate_pucch_config(self.FMT, carrier_config, cfg)
         self.carrier = carrier_config
         self.cfg = cfg
         self.prb_size = carrier_prb_size(carrier_config["scs"],
@@ -137,6 +143,8 @@ class _PucchBase:
 
 class NrPUCCHFormat0(_PucchBase):
     """38.211 6.3.2.3 — sequence selection."""
+
+    FMT = 0
 
     def __init__(self, carrier_config, cfg):
         super().__init__(carrier_config, cfg)
@@ -185,6 +193,8 @@ class NrPUCCHFormat0(_PucchBase):
 class NrPUCCHFormat1(_PucchBase):
     """38.211 6.3.2.4 — ZC + OCC spreading + DMRS."""
 
+    FMT = 1
+
     def __init__(self, carrier_config, cfg):
         super().__init__(carrier_config, cfg)
         n = cfg["numHARQbits"]
@@ -225,6 +235,8 @@ class NrPUCCHFormat1(_PucchBase):
 
 class NrPUCCHFormat2(_PucchBase):
     """38.211 6.3.2.5 — UCI QPSK + DMRS every 3rd RE."""
+
+    FMT = 2
 
     def process(self, fd_slot, usage, sfn, slot):
         cfg = self.cfg
@@ -291,6 +303,8 @@ class _Format34Base(_PucchBase):
 class NrPUCCHFormat3(_Format34Base):
     """38.211 6.3.2.6 — DFT-s-OFDM."""
 
+    FMT = 3
+
     def process(self, fd_slot, usage, sfn, slot):
         cfg = self.cfg
         if not self._active(sfn, slot):
@@ -322,6 +336,8 @@ class NrPUCCHFormat3(_Format34Base):
 
 class NrPUCCHFormat4(_Format34Base):
     """38.211 6.3.2.6 with block-wise OCC — single PRB."""
+
+    FMT = 4
 
     _OCC2 = [[1, 1], [1, -1]]
     _OCC4 = [[1, 1, 1, 1], [1, -1j, -1, 1j], [1, -1, 1, -1], [1, 1j, -1, -1j]]

@@ -163,6 +163,8 @@ class NrPUSCH:
     RX methods are attached from phy/pusch_rx.py at import time."""
 
     def __init__(self, carrier_config: dict, pusch_config: dict):
+        from python_5gtoolbox_tpu.phy.validate import validate_pusch_config
+        validate_pusch_config(carrier_config, pusch_config)
         self.carrier = carrier_config
         self.cfg = pusch_config
         self.prb_size = carrier_prb_size(carrier_config["scs"],

@@ -173,6 +173,8 @@ class NrSSB:
     """
 
     def __init__(self, carrier_config: dict, ssb_config: dict):
+        from python_5gtoolbox_tpu.phy.validate import validate_ssb_config
+        validate_ssb_config(carrier_config, ssb_config)
         self.carrier = carrier_config
         self.cfg = ssb_config
         self.prb_size = carrier_prb_size(carrier_config["scs"],
