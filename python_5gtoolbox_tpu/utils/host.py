@@ -1,10 +1,19 @@
-"""Device->host transfer helpers.
+"""Host<->device transfer helpers for complex data.
 
-The axon TPU backend (experimental) implements complex64 compute and
-host->device transfer but NOT device->host transfer of complex arrays
-(UNIMPLEMENTED as of this build). `to_host` works around it by moving
-the real and imaginary parts as separate float32 transfers and
-recombining on the host. Real arrays pass through np.asarray.
+The axon TPU backend (experimental) runs complex64 COMPUTE fine, but
+any complex-typed buffer crossing the host<->device boundary is
+UNIMPLEMENTED — and worse, a complex host->device transfer poisons the
+process's device channel so every later dispatch fails (measured on
+this build; see docs/PROGRESS notes r2). Device-resident complex
+buffers pass between executables without issue.
+
+Safe pattern (the "planar boundary"):
+  * to_device(x): move real/imag as two float32 transfers, then fuse
+    with a tiny jitted lax.complex — the complex array is born on
+    device and never crosses the boundary.
+  * to_host(x): jitted (real, imag) split, two float32 transfers,
+    recombine on host.
+Real arrays pass straight through.
 """
 from __future__ import annotations
 
@@ -32,6 +41,27 @@ def _complex_d2h_supported() -> bool:
     return _COMPLEX_D2H_OK
 
 
+def _split_jit():
+    import jax
+    import jax.numpy as jnp
+    global _SPLIT
+    if _SPLIT is None:
+        _SPLIT = jax.jit(lambda v: (jnp.real(v), jnp.imag(v)))
+    return _SPLIT
+
+
+def _fuse_jit():
+    import jax
+    global _FUSE
+    if _FUSE is None:
+        _FUSE = jax.jit(jax.lax.complex)
+    return _FUSE
+
+
+_SPLIT = None
+_FUSE = None
+
+
 def to_host(x) -> np.ndarray:
     """np.asarray for device arrays, safe for complex dtypes on axon."""
     if isinstance(x, np.ndarray):
@@ -39,10 +69,29 @@ def to_host(x) -> np.ndarray:
     dtype = getattr(x, "dtype", None)
     if dtype is not None and np.issubdtype(dtype, np.complexfloating) \
             and not _complex_d2h_supported():
-        re = np.asarray(x.real)
-        im = np.asarray(x.imag)
+        re_d, im_d = _split_jit()(x)
+        re = np.asarray(re_d)
+        im = np.asarray(im_d)
         out = np.empty(re.shape, np.result_type(re.dtype, np.complex64))
         out.real = re
         out.imag = im
         return out
     return np.asarray(x)
+
+
+def to_device(x):
+    """jnp.asarray that never sends a complex buffer over the boundary.
+
+    On axon a complex host->device transfer poisons the device channel
+    for the whole process; this moves float32 planes and fuses them on
+    device. Returns a device array (complex64 for complex inputs).
+    """
+    import jax.numpy as jnp
+
+    x = np.asarray(x)
+    if np.issubdtype(x.dtype, np.complexfloating) \
+            and not _complex_d2h_supported():
+        re = jnp.asarray(np.ascontiguousarray(x.real).astype(np.float32))
+        im = jnp.asarray(np.ascontiguousarray(x.imag).astype(np.float32))
+        return _fuse_jit()(re, im)
+    return jnp.asarray(x)
