@@ -27,6 +27,18 @@ def _polyfit_extend(x, y, x_new):
     return np.poly1d(coeff)(x_new)
 
 
+def _lsq_extend(x, y, x_new):
+    """Batched deg-1 least squares: y (B, n) over x (n,), eval x_new (m,).
+
+    Same math as np.polyfit(x, y, 1) row-by-row (closed form)."""
+    x = np.asarray(x, np.float64)
+    xm = x.mean()
+    denom = ((x - xm) ** 2).sum()
+    slope = ((x - xm)[None, :] * y).sum(axis=1) / denom
+    intercept = y.mean(axis=1) - slope * xm
+    return intercept[:, None] + slope[:, None] * np.asarray(x_new)[None, :]
+
+
 class NrChannelEstimation:
     """Reference-compatible channel estimator.
 
@@ -93,25 +105,27 @@ class NrChannelEstimation:
 
     def _fo_comp(self, data, sym_offsets, re_distance):
         """Time-domain per-symbol frequency-offset compensation of a
-        (n_sym, RE_num, ...) grid sampled every `re_distance` REs."""
+        (n_sym, RE_num, ...) grid sampled every `re_distance` REs.
+
+        Batched over (symbol, column): one ifft/fft pair on a
+        (n_sym, n_col, 4096) stack instead of the reference's
+        per-column loop (nr_channel_estimation.py:268-328 equivalent)."""
         n_sym, re_num = data.shape[:2]
         nfft = 4096
         fs = nfft * self.RS_info["scs"] * 1000
-        out = data.copy()
         start = (nfft - re_distance * re_num) // 2
-        for m in range(n_sym):
-            t = sym_offsets[m] + np.arange(nfft) / fs
-            ramp = np.exp(-1j * 2 * np.pi * self._fo_value * t)
-            flat = out[m].reshape(re_num, -1)
-            for col in range(flat.shape[1]):
-                buf = np.zeros(nfft, np.complex64)
-                buf[start: start + re_distance * re_num: re_distance] = \
-                    flat[:, col]
-                td = sfft.ifft(sfft.ifftshift(buf)) * ramp
-                fd = sfft.fftshift(sfft.fft(td))
-                flat[:, col] = fd[start: start + re_distance * re_num:
-                                  re_distance]
-        return out
+        flat = data.reshape(n_sym, re_num, -1)          # (S, RE, C)
+        n_col = flat.shape[-1]
+        buf = np.zeros((n_sym, n_col, nfft), np.complex64)
+        buf[:, :, start: start + re_distance * re_num: re_distance] = \
+            np.swapaxes(flat, 1, 2)
+        t = (np.asarray(sym_offsets)[:, None, None]
+             + np.arange(nfft)[None, None, :] / fs)
+        ramp = np.exp(-1j * 2 * np.pi * self._fo_value * t)
+        td = sfft.ifft(sfft.ifftshift(buf, axes=-1), axis=-1) * ramp
+        fd = sfft.fftshift(sfft.fft(td, axis=-1), axes=-1)
+        res = fd[:, :, start: start + re_distance * re_num: re_distance]
+        return np.swapaxes(res, 1, 2).reshape(data.shape)
 
     def comp_H_LS_freq_offset(self, freq_offset):
         self._fo_value = freq_offset
@@ -188,31 +202,49 @@ def dft_dct_channel_estimate(H_LS, RS_info, CE_config, model="DFT"):
     right_ek = ek + (re_num + ek) % 2
     assert re_num * rd // 12 > 1, "one-PRB assignment unsupported"
 
-    h_est = np.zeros((sym_num, re_num * rd, nr, nt), np.complex64)
-    for m in range(sym_num):
-        for t in range(nt):
-            for r in range(nr):
-                sel = H_LS[m, :, r, t]
-                ext = _hls_extra(sel, ek, right_ek, rd)
-                if model == "DFT":
-                    h_sym = sfft.ifft(sfft.ifftshift(ext)) * np.sqrt(ext.size)
-                else:
-                    h_sym = sfft.dct(ext.copy(), norm="ortho")
-                fs_tap = scs * 1000 * rd * ext.size
-                l_l = int(l_left_ns * 1e-9 * fs_tap)
-                l_r = int(l_right_ns * 1e-9 * fs_tap)
-                noise_p = np.mean(np.abs(h_sym[l_l: h_sym.size - l_r]) ** 2)
-                h_sym[np.abs(h_sym) < np.sqrt(noise_p / 2)] = 0
-                h_sym[l_l: h_sym.size - l_r] = 0
-                if model == "DFT":
-                    fd = sfft.fftshift(sfft.fft(h_sym)) / np.sqrt(h_sym.size)
-                else:
-                    fd = sfft.idct(h_sym, norm="ortho")
-                # frequency interpolation to every RE
-                xnew = np.arange(fd.size * rd)
-                full = np.interp(xnew, xnew[::rd], fd) if intp == "linear" \
-                    else np.interp(xnew, xnew[::rd], fd)
-                h_est[m, :, r, t] = full[ek * rd: ek * rd + rd * re_num]
+    # batched over (symbol, Nr, Nt): one edge least-squares, one
+    # transform pair, and one linear interpolation on a (S*Nr*Nt, .)
+    # stack — replaces the reference's triple loop
+    # (dft_dct_CE.py:10-103), numerics unchanged
+    cols = np.moveaxis(H_LS, 1, -1).reshape(-1, re_num)  # (S*Nr*Nt, RE)
+    n_edge = 2 * 12 // rd
+    ext = np.concatenate([
+        _lsq_extend(np.arange(n_edge), cols[:, :n_edge],
+                    np.arange(-ek, 0)),
+        cols,
+        _lsq_extend(np.arange(re_num - n_edge, re_num), cols[:, -n_edge:],
+                    np.arange(re_num, re_num + right_ek))], axis=1)
+    if model == "DFT":
+        h_sym = sfft.ifft(sfft.ifftshift(ext, axes=-1), axis=-1) \
+            * np.sqrt(ext.shape[-1])
+    else:
+        h_sym = sfft.dct(ext.real.copy(), norm="ortho", axis=-1) \
+            + 1j * sfft.dct(ext.imag.copy(), norm="ortho", axis=-1)
+    fs_tap = scs * 1000 * rd * ext.shape[-1]
+    l_l = int(l_left_ns * 1e-9 * fs_tap)
+    l_r = int(l_right_ns * 1e-9 * fs_tap)
+    mid = h_sym[:, l_l: h_sym.shape[-1] - l_r]
+    noise_p = np.mean(np.abs(mid) ** 2, axis=-1, keepdims=True)
+    h_sym = np.where(np.abs(h_sym) < np.sqrt(noise_p / 2), 0, h_sym)
+    h_sym[:, l_l: h_sym.shape[-1] - l_r] = 0
+    if model == "DFT":
+        fd = sfft.fftshift(sfft.fft(h_sym, axis=-1), axes=-1) \
+            / np.sqrt(h_sym.shape[-1])
+    else:
+        fd = sfft.idct(h_sym.real.copy(), norm="ortho", axis=-1) \
+            + 1j * sfft.idct(h_sym.imag.copy(), norm="ortho", axis=-1)
+    del intp  # only "linear" is implemented (reference default)
+    # uniform-stride linear interpolation to every RE (np.interp clamps
+    # past the last sample; idx clipping reproduces that)
+    xnew = np.arange(fd.shape[-1] * rd)
+    idx = np.minimum(xnew // rd, fd.shape[-1] - 1)
+    nxt = np.minimum(idx + 1, fd.shape[-1] - 1)
+    frac = np.where(idx == fd.shape[-1] - 1, 0.0, (xnew % rd) / rd)
+    full = fd[:, idx] + frac[None, :] * (fd[:, nxt] - fd[:, idx])
+    sl = full[:, ek * rd: ek * rd + rd * re_num]
+    h_est = np.ascontiguousarray(np.moveaxis(
+        sl.reshape(sym_num, nr, nt, rd * re_num), -1, 1)).astype(
+            np.complex64)
 
     h_result = _time_interp(h_est, RS_info["RSSymMap"])
     cov = _cov_estimate(H_LS, h_est, rd,
