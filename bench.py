@@ -67,7 +67,7 @@ def bench_ofdm_duc():
     from python_5gtoolbox_tpu.utils import numerology as num
 
     scs, bw = 30, 100
-    n_slots, nant = 16, 2
+    n_slots, nant = 64, 2  # 32 ms of carrier; large batch amortizes launch
     prb = num.carrier_prb_size(scs, bw)
     rng = np.random.default_rng(0)
     fd = (rng.normal(size=(n_slots, nant, 14, 12 * prb))

@@ -14,6 +14,17 @@ jax.lax.conv_general_dilated over the time axis, batched over antennas:
   * /2 decimation == window_strides=2.
 All taps are symmetric (linear phase), so conv-vs-correlation orientation
 is irrelevant; we still flip for exactness.
+
+Performance: a single-channel 1-D conv cannot use the MXU (measured 22
+Msamples/s for the full DUC on v5e — it lowers to a VPU sliding
+window). For long inputs every stage therefore runs as a blocked
+overlap-save MATMUL: frames of L output samples gather their
+(halo-extended) input window and multiply one banded Toeplitz matrix
+M[q, r] = taps_at(<mode-specific index>) on the MXU. Block/halo
+geometry is identical to parallel/timeshard.py's (tested sample-exact);
+the matmul reassociates float adds, so blocked-vs-direct differs by
+~1e-6 (well inside the 2e-4 golden tolerance). Short inputs keep the
+direct conv path.
 """
 from __future__ import annotations
 
@@ -78,9 +89,117 @@ def _conv1d(x: jnp.ndarray, taps: np.ndarray, pad: tuple[int, int],
     return out.reshape(lead + out.shape[-1:])
 
 
+# ---------------------------------------------------------------------------
+# Blocked overlap-save matmul path (MXU)
+# ---------------------------------------------------------------------------
+
+_BLOCK_L = 512          # output samples per frame ("same"/up2 input L)
+_MIN_BLOCKED_T = 4096   # below this, direct conv wins (no gather/pad cost)
+
+
+def _taps_at(taps: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    n = len(taps)
+    ok = (idx >= 0) & (idx < n)
+    return np.where(ok, taps[np.clip(idx, 0, n - 1)], 0.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _blocked_plan(taps_key: bytes, n: int, mode: str, L: int):
+    """(hl, hr, M (B, L_out) f32) for one overlap-save stage.
+
+    M[q, r] encodes the exact direct-path semantics (same offsets as
+    fir_same / hb_upsample2 / hb_downsample2; halo geometry as
+    parallel/timeshard.py):
+      same : y[t] = sum_i x[i] * taps_at(t + n-1 - i)        hl=n//2
+      up2  : y[t] = sum_i x[i] * taps_at(t + k + n-1 - 2i)*s2
+      down2: y[t] = sum_i x[i] * taps_at(2t + n-1 - i)*s2
+    with frame-local q = i - (m*L - hl), r = t - m*L_out.
+    """
+    taps = np.frombuffer(taps_key, np.float64)
+    assert len(taps) == n
+    q = np.arange(0, 0)  # placeholder for lints
+    if mode == "same":
+        hl, hr = n // 2, n - 1 - n // 2
+        L_out, scale = L, 1.0
+        B = L + hl + hr
+        qq, rr = np.meshgrid(np.arange(B), np.arange(L_out), indexing="ij")
+        M = _taps_at(taps, rr + n - 1 - qq)
+    elif mode == "up2":
+        off = n // 2 - 1
+        pad_l = (n - 1) - off
+        hl = -(-pad_l // 2)
+        hr = -(-(n - 1 - pad_l) // 2) + 1
+        k = 2 * hl - pad_l
+        L_out, scale = 2 * L, np.sqrt(2)
+        B = L + hl + hr
+        qq, rr = np.meshgrid(np.arange(B), np.arange(L_out), indexing="ij")
+        M = _taps_at(taps, rr + k + n - 1 - 2 * qq)
+    elif mode == "down2":
+        shift = 2 * ((n + 1) // 4)
+        hl, hr = (n - 1) - shift, shift - 1
+        assert L % 2 == 0
+        L_out, scale = L // 2, np.sqrt(2)
+        B = L + hl + hr
+        qq, rr = np.meshgrid(np.arange(B), np.arange(L_out), indexing="ij")
+        M = _taps_at(taps, 2 * rr + n - 1 - qq)
+    else:
+        raise ValueError(mode)
+    return hl, hr, (M * scale).astype(np.float32)
+
+
+def _frames_by_slices(xpad: jnp.ndarray, nf: int, L: int, B: int):
+    """(..., nf*L + B - L) -> (..., nf, B) overlapping frames.
+
+    Built from ceil(B/L)+1 shifted strided SLICES (reshape-concat), not
+    a gather — XLA turns each slice into a cheap copy."""
+    parts = []
+    for o in range(0, B, L):
+        w = min(L, B - o)
+        seg = jax.lax.slice_in_dim(xpad, o, o + (nf - 1) * L + w, axis=-1)
+        if w == L:
+            parts.append(seg.reshape(seg.shape[:-1] + (nf, L)))
+        else:
+            # last partial column block: pad the tail so it reshapes
+            seg = jnp.pad(seg, [(0, 0)] * (seg.ndim - 1)
+                          + [(0, nf * L - seg.shape[-1])])
+            parts.append(seg.reshape(seg.shape[:-1] + (nf, L))[..., :w])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _blocked_conv(x: jnp.ndarray, taps: np.ndarray, mode: str,
+                  L: int | None = None) -> jnp.ndarray:
+    """Overlap-save frames @ banded-Toeplitz matmul (complex via planes)."""
+    n = len(taps)
+    if L is None:
+        # smaller frames = fewer wasted MACs (per-sample cost is B =
+        # L + n - 1); 128 output lanes already fill the MXU tile
+        L = 128 if n < 128 else 256
+    hl, hr, M = _blocked_plan(
+        np.ascontiguousarray(taps, np.float64).tobytes(), n, mode, L)
+    B = L + hl + hr
+    T = x.shape[-1]
+    lead = x.shape[:-1]
+    nf = -(-T // L)
+    xpad = jnp.pad(x, [(0, 0)] * (x.ndim - 1)
+                   + [(hl, nf * L - T + hr + L)])
+    frames = _frames_by_slices(xpad, nf, L, B)                # (..., nf, B)
+    Mj = jnp.asarray(M)
+    planes = jnp.stack([jnp.real(frames), jnp.imag(frames)])
+    y = jax.lax.dot_general(
+        planes.astype(jnp.float32), Mj,
+        (((planes.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)                  # (2,...,nf,Lo)
+    out = (y[0] + 1j * y[1]).astype(jnp.complex64)
+    out = out.reshape(lead + (-1,))
+    n_out = {"same": T, "up2": 2 * T, "down2": T // 2}[mode]
+    return out[..., :n_out]
+
+
 def fir_same(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
     """upfirdn(h, x)[h//2 : h//2+len] == centered 'same' convolution."""
     n = len(taps)
+    if x.shape[-1] >= _MIN_BLOCKED_T:
+        return _blocked_conv(x, taps, "same")
     return _conv1d(x, taps, (n // 2, n - 1 - n // 2))
 
 
@@ -92,6 +211,8 @@ def hb_upsample2(x: jnp.ndarray, taps: np.ndarray | None = None) -> jnp.ndarray:
     if taps is None:
         taps = halfband_coeff()
     n = len(taps)
+    if x.shape[-1] >= _MIN_BLOCKED_T:
+        return _blocked_conv(x, taps, "up2")
     off = n // 2 - 1
     # full conv of the 2x zero-stuffed signal has length 2T-1+n-1;
     # pad so the output is exactly [off : off + 2T].
@@ -109,6 +230,8 @@ def hb_downsample2(x: jnp.ndarray, taps: np.ndarray | None = None) -> jnp.ndarra
     if taps is None:
         taps = halfband_coeff()
     n = len(taps)
+    if x.shape[-1] >= _MIN_BLOCKED_T and x.shape[-1] % 2 == 0:
+        return _blocked_conv(x, taps, "down2")
     shift = 2 * ((n + 1) // 4)
     pl = (n - 1) - shift
     pr = shift - 1
