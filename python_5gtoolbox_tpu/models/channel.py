@@ -25,7 +25,8 @@ import functools
 import pathlib
 
 import numpy as np
-from python_5gtoolbox_tpu.utils.host import to_host
+from python_5gtoolbox_tpu.utils.host import to_device, to_host
+from python_5gtoolbox_tpu.utils.cplx import cexp
 import jax
 import jax.numpy as jnp
 
@@ -167,7 +168,7 @@ def rayleigh_filters(key, n: int, fmax: float, fs: float, n_sin: int,
         jnp.cos(w * m * jnp.cos(seta) + phase1), axis=-2)
     cq = jnp.sqrt(2 / n_sin) * jnp.sum(
         jnp.cos(w * m * jnp.sin(seta) + phase2), axis=-2)
-    return (ci + 1j * cq).astype(jnp.complex64)
+    return jax.lax.complex(ci.astype(jnp.float32), cq.astype(jnp.float32)).astype(jnp.complex64)
 
 
 def rician_filters(key, n: int, k_db: float, fdo: float, fmax: float,
@@ -176,7 +177,7 @@ def rician_filters(key, n: int, k_db: float, fdo: float, fmax: float,
     cm = rayleigh_filters(k1, n, fmax, fs, n_sin, shape)
     phase0 = jax.random.uniform(k2, shape + (1,), minval=-np.pi,
                                 maxval=np.pi)
-    los = jnp.exp(1j * (2 * np.pi * fdo / fs * jnp.arange(n) + phase0))
+    los = cexp(2 * np.pi * fdo / fs * jnp.arange(n) + phase0)
     kv = 10 ** (k_db / 10)
     return (cm / np.sqrt(kv + 1)
             + np.sqrt(kv / (kv + 1)) * los).astype(jnp.complex64)
@@ -192,7 +193,7 @@ def gen_mimo_channel(key, nt: int, nr: int, rspat: np.ndarray, n: int,
         vec = rician_filters(key, n, k_db, fdo, fmax, fs, n_sin,
                              shape=(nt * nr,))
     L = np.linalg.cholesky(np.asarray(rspat)) if rspat.shape[0] > 1 else rspat
-    mixed = jnp.asarray(L, jnp.complex64) @ vec       # (Nt*Nr, n)
+    mixed = to_device(np.asarray(L, np.complex64)) @ vec  # (Nt*Nr, n)
     # vec_H.reshape((Nr, Nt), order='F') == reshape (Nt, Nr) then transpose
     return jnp.transpose(mixed.reshape(nt, nr, n), (2, 1, 0))
 
@@ -243,11 +244,11 @@ class NrChannelModel:
 
     def filter(self, tx) -> np.ndarray:
         """(Nt, N) tx samples -> (Nr, N) rx samples through the channel."""
-        tx = jnp.asarray(tx, jnp.complex64)
+        tx = to_device(np.asarray(tx, np.complex64))
         n = tx.shape[1]
         ferr = self.fi * self.rho
         if ferr:
-            tx = tx * jnp.exp(1j * 2 * np.pi * ferr * jnp.arange(n) / self.fs)
+            tx = tx * cexp(2 * np.pi * ferr * jnp.arange(n) / self.fs)
         if self.n_integer_ta:
             sh = self.n_integer_ta
             tx = jnp.roll(tx, sh, axis=1)
@@ -277,6 +278,7 @@ class NrChannelModel:
         if self.pnoise_db != 255:
             sigma = 10 ** (self.pnoise_db / 20) / np.sqrt(2)
             k1, k2 = jax.random.split(self._next_key())
-            acc = acc + sigma * (jax.random.normal(k1, acc.shape)
-                                 + 1j * jax.random.normal(k2, acc.shape))
+            acc = acc + sigma * jax.lax.complex(
+                jax.random.normal(k1, acc.shape),
+                jax.random.normal(k2, acc.shape))
         return to_host(acc)

@@ -85,7 +85,7 @@ def _conv1d(x: jnp.ndarray, taps: np.ndarray, pad: tuple[int, int],
         return out[:, 0, :]
     re = real_conv(jnp.real(x).astype(jnp.float32))
     im = real_conv(jnp.imag(x).astype(jnp.float32))
-    out = (re + 1j * im).astype(jnp.complex64)
+    out = jax.lax.complex(re, im).astype(jnp.complex64)
     return out.reshape(lead + out.shape[-1:])
 
 
@@ -189,7 +189,7 @@ def _blocked_conv(x: jnp.ndarray, taps: np.ndarray, mode: str,
         planes.astype(jnp.float32), Mj,
         (((planes.ndim - 1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST)                  # (2,...,nf,Lo)
-    out = (y[0] + 1j * y[1]).astype(jnp.complex64)
+    out = jax.lax.complex(y[0], y[1]).astype(jnp.complex64)
     out = out.reshape(lead + (-1,))
     n_out = {"same": T, "up2": 2 * T, "down2": T // 2}[mode]
     return out[..., :n_out]
@@ -239,6 +239,7 @@ def hb_downsample2(x: jnp.ndarray, taps: np.ndarray | None = None) -> jnp.ndarra
     return y * np.float32(np.sqrt(2))
 
 
+@functools.partial(jax.jit, static_argnames=("scs", "bw", "in_rate_hz"))
 def rx_channel_filter(rx: jnp.ndarray, scs: int, bw: int,
                       in_rate_hz: float) -> jnp.ndarray:
     """DDC: halfband /2 stages then FIR at carrier rate (rx_lowphy:100-164)."""
@@ -252,6 +253,7 @@ def rx_channel_filter(rx: jnp.ndarray, scs: int, bw: int,
     return fir_same(y, fir_coeff(scs, bw))
 
 
+@functools.partial(jax.jit, static_argnames=("scs", "bw", "out_rate_hz"))
 def tx_channel_filter(td: jnp.ndarray, scs: int, bw: int,
                       out_rate_hz: float = 245.76e6) -> jnp.ndarray:
     """(..., T) at carrier rate -> (..., T * oversample) at out_rate_hz."""

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,6 +62,8 @@ def slot_sample_count(scs: int, bw: int) -> int:
     return int(_cp_table(scs, nfft).sum()) + 14 * nfft
 
 
+@functools.partial(jax.jit, static_argnames=("scs", "bw",
+                                             "carrier_freq_hz", "nfft"))
 def tx_low_phy(fd_slots: jnp.ndarray, scs: int, bw: int,
                carrier_freq_hz: int = 0, dm: jnp.ndarray | None = None,
                nfft: int | None = None) -> jnp.ndarray:
@@ -68,6 +71,11 @@ def tx_low_phy(fd_slots: jnp.ndarray, scs: int, bw: int,
 
     dm: optional (..., 14) per-symbol fractional timing error (seconds)
         applied as a frequency-domain phase ramp (channel-sim impairment).
+
+    Jitted entry: the complex phase-comp constants and the `1j` ramp
+    literal must live INSIDE a traced program — eagerly they would
+    cross the axon host->device boundary as complex buffers (see
+    utils/host.py). Calling this from an outer jit simply inlines.
     """
     n_sc = fd_slots.shape[-1]
     if nfft is None:
@@ -97,6 +105,9 @@ def tx_low_phy(fd_slots: jnp.ndarray, scs: int, bw: int,
     return out.astype(jnp.complex64)
 
 
+@functools.partial(jax.jit, static_argnames=("scs", "bw",
+                                             "carrier_freq_hz", "nfft",
+                                             "n_sc"))
 def rx_low_phy(td_slots: jnp.ndarray, scs: int, bw: int,
                carrier_freq_hz: int = 0,
                nfft: int | None = None, n_sc: int | None = None

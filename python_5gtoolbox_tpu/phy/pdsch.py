@@ -26,7 +26,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
-from python_5gtoolbox_tpu.utils.host import to_host
+from python_5gtoolbox_tpu.utils.host import to_device, to_host
 import jax
 import jax.numpy as jnp
 
@@ -180,7 +180,7 @@ class Pdsch:
         cinit = self.cfg["rnti"] * (2 ** 15) + self.cfg["nID"]
         scr = jnp.asarray(gen_prbs_np(cinit, G))
         precoded = to_host(pdsch_symbol_encode(
-            g_seq, scr, jnp.asarray(self.precoding), self.qm, n_layers,
+            g_seq, scr, to_device(self.precoding), self.qm, n_layers,
             n_ant, cinit, G))
         fd_slot = self._data_mapping_commit(precoded, fd_slot, usage)
         return fd_slot, usage

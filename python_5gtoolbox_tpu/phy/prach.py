@@ -19,7 +19,7 @@ import math
 import pathlib
 
 import numpy as np
-from python_5gtoolbox_tpu.utils.host import to_host
+from python_5gtoolbox_tpu.utils.host import to_device, to_host
 
 from python_5gtoolbox_tpu.ops.filters import _conv1d, halfband_coeff
 from python_5gtoolbox_tpu.utils.numerology import carrier_prb_size
@@ -233,7 +233,7 @@ def prach_upsample(x: np.ndarray, reps: int) -> np.ndarray:
     (upfirdn slice [n//2 : n//2 + 2len], no sqrt(2) gain)."""
     taps = halfband_coeff()
     n = len(taps)
-    y = jnp.asarray(np.atleast_2d(x), jnp.complex64)
+    y = to_device(np.atleast_2d(x).astype(np.complex64))
     for _ in range(reps):
         # upfirdn(h, x, up=2) slice [n//2 : n//2 + 2T]
         off = n // 2

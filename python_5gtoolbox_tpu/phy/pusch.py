@@ -27,7 +27,7 @@ import functools
 import math
 
 import numpy as np
-from python_5gtoolbox_tpu.utils.host import to_host
+from python_5gtoolbox_tpu.utils.host import to_device, to_host
 import jax
 import jax.numpy as jnp
 
@@ -206,7 +206,7 @@ class NrPUSCH:
         pm = get_precoding_matrix(n_layers, cfg["nNrOfAntennaPorts"],
                                   cfg["nPMI"])
         precoded = to_host(pusch_symbol_encode(
-            jnp.asarray(g_seq), scr, jnp.asarray(pm), self.qm, n_layers,
+            jnp.asarray(g_seq), scr, to_device(pm), self.qm, n_layers,
             cfg["nTransPrecode"], cfg["ResAlloType1"]["RBSize"] * 12))
         fd_slot = self._data_mapping_commit(precoded, fd_slot, usage)
         return fd_slot, usage

@@ -40,7 +40,7 @@ from python_5gtoolbox_tpu.phy import tbsize as tbs_mod
 from python_5gtoolbox_tpu.phy.pusch import (
     _dmrs_seq_no_tp, _dmrs_seq_tp, get_precoding_matrix, pusch_dmrs_symlist,
     ulsch_crc_segment)
-from python_5gtoolbox_tpu.utils.host import to_host
+from python_5gtoolbox_tpu.utils.host import to_device, to_host
 from python_5gtoolbox_tpu.phy.pusch_uci import (
     data_control_multiplex, get_ulsch_rm_info)
 from python_5gtoolbox_tpu.rx.demod import demodulate
@@ -378,7 +378,7 @@ class PuschRxMixin:
             s_mat = to_host(s_est).reshape(-1, m_sc)
             yi = np.fft.ifft(s_mat, axis=-1) * math.sqrt(m_sc)
             nv = np.asarray(noise_var).reshape(-1, m_sc)
-            _, llr = demodulate(jnp.asarray(yi.reshape(-1)), modtype,
+            _, llr = demodulate(to_device(yi.reshape(-1)), modtype,
                                 jnp.asarray(nv.reshape(-1)))
             llr = np.asarray(llr).reshape(-1)
 

@@ -32,6 +32,8 @@ from python_5gtoolbox_tpu.utils.numerology import RE_USAGE, carrier_prb_size
 
 import jax.numpy as jnp
 
+from python_5gtoolbox_tpu.utils.host import to_device, to_host
+
 
 @functools.lru_cache(maxsize=None)
 def pss_sequence(pci: int) -> np.ndarray:
@@ -315,13 +317,13 @@ class NrSSB:
         # ---- device: batched IFFT + frequency shift + phase comp ----
         spec = np.zeros((len(rows), nant, ifftsize), np.complex64)
         spec[:, :, ifftsize // 2: ifftsize // 2 + 240] = np.stack(rows)
-        x = jnp.fft.ifftshift(jnp.asarray(spec), axes=-1)
+        x = jnp.fft.ifftshift(to_device(spec), axes=-1)
         if nant > 1:  # reference's axis-free ifftshift also rolls antennas
             x = jnp.roll(x, -(nant // 2), axis=-2)
         body = jnp.fft.ifft(x, axis=-1)
         shift_v = np.exp(1j * 2 * np.pi * ssb_sc0_15k * 15000 / fs
                          * np.arange(ifftsize)).astype(np.complex64)
-        body = body * shift_v
+        body = body * to_device(shift_v)
         sym_arr = np.asarray(row_sym)
         cps = cptable[sym_arr]
         t_off = (np.cumsum(np.concatenate([[0], cptable[:-1]]))[sym_arr]
@@ -329,8 +331,8 @@ class NrSSB:
         if fc:
             pc = np.exp(-1j * 2 * np.pi * (fc / fs)
                         * (t_off + cps)).astype(np.complex64)
-            body = body * jnp.asarray(pc)[:, None, None]
-        body = np.asarray(body.astype(jnp.complex64))
+            body = body * to_device(pc)[:, None, None]
+        body = to_host(body.astype(jnp.complex64))
 
         # ---- host scatter: CP prepend + placement ----
         for i in range(len(rows)):

@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from python_5gtoolbox_tpu.utils.host import to_device
+from python_5gtoolbox_tpu.utils.cplx import make_complex
 import numpy as np
 
 from python_5gtoolbox_tpu.ops.modulation import constellation
@@ -247,7 +250,7 @@ def opt_rank2_ml(y, h, cov, modtype: str, irc: bool = False,
         metric = jnp.take_along_axis(tot, best[:, None], axis=1)[:, 0]
         s_self = syms_j[best]
         s_other = (jnp.take_along_axis(cx, best[:, None], axis=1)[:, 0]
-                   + 1j * jnp.take_along_axis(cy, best[:, None],
+                   + make_complex(0.0, 1.0) * jnp.take_along_axis(cy, best[:, None],
                                               axis=1)[:, 0])
         return metric, s_self, s_other
 
@@ -271,7 +274,7 @@ def opt_rank2_ml(y, h, cov, modtype: str, irc: bool = False,
         metric = jnp.take_along_axis(tot, best[:, None], axis=1)[:, 0]
         s1 = syms_j[best]
         s0 = (jnp.take_along_axis(cx, best[:, None], axis=1)[:, 0]
-              + 1j * jnp.take_along_axis(cy, best[:, None], axis=1)[:, 0])
+              + make_complex(0.0, 1.0) * jnp.take_along_axis(cy, best[:, None], axis=1)[:, 0])
         return metric, s0, s1
 
     m3, s0_b, s1_b = branch_rev()
@@ -320,9 +323,9 @@ def channel_equ_and_demod(y, h, cov, modtype: str, ceq_config: dict):
     Returns (s_est, noise_var, hardbits (N*NL*Qm,), llr (N*NL*Qm,)) with
     the reference's serialization order (per RE: layers x Qm).
     """
-    y = jnp.asarray(y)
-    h = jnp.asarray(h)
-    cov = jnp.asarray(cov)
+    y = to_device(y)
+    h = to_device(h)
+    cov = to_device(cov)
     if cov.ndim == 2:
         cov = jnp.broadcast_to(cov, (y.shape[0],) + cov.shape)
     algo = ceq_config["algo"]

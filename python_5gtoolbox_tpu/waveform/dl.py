@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from python_5gtoolbox_tpu.ops import ofdm, filters
 from python_5gtoolbox_tpu.utils import numerology as num
-from python_5gtoolbox_tpu.utils.host import to_host
+from python_5gtoolbox_tpu.utils.host import to_device, to_host
 
 
 def _slot_phase(scs: int, carrier_freq_hz: int, n_slots: int) -> np.ndarray:
@@ -69,9 +69,9 @@ def gen_dl_waveform(waveform_config: dict, carrier_config: dict,
 
     fd_batched = grids.reshape(n_slots, nant, 14, n_sc)
     td = ofdm.tx_low_phy(
-        jnp.asarray(fd_batched), scs, bw, fc_hz,
+        to_device(fd_batched), scs, bw, fc_hz,
         dm=None if Dm is None or len(Dm) == 0 else jnp.asarray(Dm))
-    td = td * jnp.asarray(_slot_phase(scs, fc_hz, n_slots))[:, None, None]
+    td = td * to_device(_slot_phase(scs, fc_hz, n_slots))[:, None, None]
     # (S, ant, T) -> (ant, S*T)
     td_flat = jnp.swapaxes(td, 0, 1).reshape(nant, -1)
     dl = filters.tx_channel_filter(td_flat, scs, bw, out_rate_hz)

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from python_5gtoolbox_tpu.ops import filters, ofdm
 from python_5gtoolbox_tpu.utils import numerology as num
-from python_5gtoolbox_tpu.utils.host import to_host
+from python_5gtoolbox_tpu.utils.host import to_device, to_host
 
 
 def waveform_rx_processing(rx_waveform, carrier_config: dict,
@@ -23,7 +23,7 @@ def waveform_rx_processing(rx_waveform, carrier_config: dict,
     fc_hz = int(carrier_config["carrier_frequency_in_mhz"] * 1e6)
     prb = num.carrier_prb_size(scs, bw)
     nfft = num.fft_size(prb)
-    td = filters.rx_channel_filter(jnp.asarray(rx_waveform), scs, bw,
+    td = filters.rx_channel_filter(to_device(rx_waveform), scs, bw,
                                    sample_rate_in_hz)
     slot_samp = nfft * 15
     nant = td.shape[0]

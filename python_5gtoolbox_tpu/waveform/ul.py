@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from python_5gtoolbox_tpu.ops import filters, ofdm
 from python_5gtoolbox_tpu.utils import numerology as num
-from python_5gtoolbox_tpu.utils.host import to_host
+from python_5gtoolbox_tpu.utils.host import to_device, to_host
 from python_5gtoolbox_tpu.waveform.dl import _slot_phase
 
 
@@ -51,8 +51,8 @@ def gen_ul_waveform(waveform_config: dict, carrier_config: dict,
         grids[idx], usages[idx] = fd, use
 
     fd_batched = grids.reshape(n_slots, nant, 14, n_sc)
-    td = ofdm.tx_low_phy(jnp.asarray(fd_batched), scs, bw, fc_hz)
-    td = td * jnp.asarray(_slot_phase(scs, fc_hz, n_slots))[:, None, None]
+    td = ofdm.tx_low_phy(to_device(fd_batched), scs, bw, fc_hz)
+    td = td * to_device(_slot_phase(scs, fc_hz, n_slots))[:, None, None]
     td_flat = jnp.swapaxes(td, 0, 1).reshape(nant, -1)
     ul = filters.tx_channel_filter(td_flat, scs, bw, out_rate_hz)
     fd_waveform = grids.transpose(1, 0, 2).reshape(nant, -1)

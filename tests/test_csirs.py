@@ -23,11 +23,19 @@ CSIRS_CASES = [
     (3, 2, "dot5oddPRBs", "fd-CDM2", "000100", 2, 0, 0, 48),
     (4, 4, "one", "fd-CDM2", "001", 4, 0, 0, 24),
     (5, 4, "one", "fd-CDM2", "000010", 4, 0, 5, 28),
+    # 15 kHz breadth (VERDICT r1 weak 8)
+    (1, 1, "three", "noCDM", "000000000100", 2, 3, 1, 52, 15, 20),
+    (3, 2, "one", "fd-CDM2", "010000", 2, 5, 0, 100, 15, 50),
+    (4, 4, "one", "fd-CDM2", "010", 4, 2, 10, 40, 15, 20),
 ]
 
 
+def _case_scs_bw(case):
+    return (case[9], case[10]) if len(case) > 9 else (30, 40)
+
+
 def _mk_cfg(base, case):
-    row, ports, density, cdm, bits, nant, slot, rb0, nrb = case
+    row, ports, density, cdm, bits, nant, slot, rb0, nrb = case[:9]
     cfg = copy.deepcopy(base)
     cfg["frequencyDomainAllocation"]["row"] = row
     cfg["frequencyDomainAllocation"]["bitstring"] = bits
@@ -52,9 +60,10 @@ def _gen_csirs_goldens():
     for i, case in enumerate(CSIRS_CASES):
         nant, slot = case[5], case[6]
         cfg = _mk_cfg(base, case)
-        carrier = dict(carrier0, num_of_ant=nant, BW=40, scs=30)
+        scs, bw = _case_scs_bw(case)
+        carrier = dict(carrier0, num_of_ant=nant, BW=bw, scs=scs)
         ch = nr_csirs.NrCSIRS(carrier, cfg)
-        prb = nr_slot.get_carrier_prb_size(30, 40)
+        prb = nr_slot.get_carrier_prb_size(scs, bw)
         fd, usage = nr_slot.init_fd_slot(max(nant, case[1]), prb)
         fd, usage = ch.process(fd, usage, 0, slot)
         out[f"fd_{i}"], out[f"usage_{i}"] = fd, usage
@@ -63,7 +72,7 @@ def _gen_csirs_goldens():
 
 @pytest.fixture(scope="module")
 def csirs_goldens():
-    return get_golden("csirs_slot", _gen_csirs_goldens)
+    return get_golden("csirs_slot2", _gen_csirs_goldens)
 
 
 @pytest.mark.parametrize("i", range(len(CSIRS_CASES)))
@@ -71,10 +80,11 @@ def test_csirs_slot(csirs_goldens, i):
     case = CSIRS_CASES[i]
     nant, slot = case[5], case[6]
     cfg = _mk_cfg(get_default_config("csirs"), case)
+    scs, bw = _case_scs_bw(case)
     carrier = merged(get_default_config("dl_carrier"),
-                     dict(num_of_ant=nant, BW=40, scs=30))
+                     dict(num_of_ant=nant, BW=bw, scs=scs))
     ch = csirs_mod.NrCSIRS(carrier, cfg)
-    prb = carrier_prb_size(30, 40)
+    prb = carrier_prb_size(scs, bw)
     n = max(nant, case[1])
     fd = np.zeros((n, 14 * 12 * prb), np.complex64)
     usage = np.zeros((n, 14 * 12 * prb), np.int8)

@@ -24,28 +24,34 @@ def _ref_pusch_cfg():
     return cfg
 
 
-# (mcs_table, mcs_idx, layers, nports, nPMI, RBSize, transprecode, uci dict)
+# (mcs_table, mcs_idx, layers, nports, nPMI, RBSize, transprecode,
+#  uci dict, scs, bw) — (scs, bw) spans the feature envelope
+# (VERDICT r1 weak 8)
 PUSCH_CASES = [
-    ("256QAM", 20, 1, 1, 0, 24, 0, {}),
-    ("256QAM", 5, 1, 2, 3, 51, 0, {}),
-    ("MCStable61411", 10, 2, 2, 1, 24, 0, {}),
-    ("MCStable61411", 2, 1, 1, 0, 24, 1, {}),   # DFT-s-OFDM
+    ("256QAM", 20, 1, 1, 0, 24, 0, {}, 30, 40),
+    ("256QAM", 5, 1, 2, 3, 51, 0, {}, 30, 40),
+    ("MCStable61411", 10, 2, 2, 1, 24, 0, {}, 30, 40),
+    ("MCStable61411", 2, 1, 1, 0, 24, 1, {}, 30, 40),   # DFT-s-OFDM
     ("256QAM", 10, 1, 1, 0, 24, 0,
-     dict(EnableACK=1, NumACKBits=2, ACKbits=[1, 0])),
+     dict(EnableACK=1, NumACKBits=2, ACKbits=[1, 0]), 30, 40),
     ("256QAM", 10, 1, 1, 0, 24, 0,
      dict(EnableACK=1, NumACKBits=5, ACKbits=[1, 0, 1, 1, 0],
-          EnableCSI1=1, NumCSI1Bits=4, CSI1bits=[1, 1, 0, 1])),
+          EnableCSI1=1, NumCSI1Bits=4, CSI1bits=[1, 1, 0, 1]), 30, 40),
     ("256QAM", 12, 1, 1, 0, 48, 0,
      dict(EnableACK=1, NumACKBits=14,
           ACKbits=[1, 0, 1, 1, 0, 0, 1, 0, 1, 1, 1, 0, 0, 1],
           EnableCSI1=1, NumCSI1Bits=25,
           CSI1bits=[1, 0] * 12 + [1],
-          EnableCSI2=1, NumCSI2Bits=4, CSI2bits=[0, 1, 1, 0])),
+          EnableCSI2=1, NumCSI2Bits=4, CSI2bits=[0, 1, 1, 0]), 30, 40),
+    ("256QAM", 9, 2, 2, 2, 52, 0, {}, 15, 20),
+    ("MCStable61411", 6, 1, 1, 0, 25, 1, {}, 15, 10),   # DFT-s, 15 kHz
+    ("256QAM", 16, 1, 2, 4, 100, 0,
+     dict(EnableACK=1, NumACKBits=3, ACKbits=[1, 1, 0]), 15, 50),
 ]
 
 
 def _mk_cfg(base, case):
-    table, idx, layers, ports, npmi, rb, tp, uci = case
+    table, idx, layers, ports, npmi, rb, tp, uci = case[:8]
     cfg = copy.deepcopy(base)
     cfg["mcs_table"] = table
     cfg["mcs_index"] = idx
@@ -75,10 +81,11 @@ def _gen_pusch_goldens():
             cfg[key] = np.asarray(cfg[key], "i1")
         tbsize, qm, rate = ul_tbsize.gen_tbsize(cfg)
         out[f"tbs_{i}"] = np.array([tbsize, qm, rate])
-        carrier = dict(carrier0, BW=40, scs=30,
+        scs, bw = case[8], case[9]
+        carrier = dict(carrier0, BW=bw, scs=scs,
                        num_of_ant=case[3], Nr=case[3])
         ch = nr_pusch.NrPUSCH(carrier, copy.deepcopy(cfg))
-        prb = nr_slot.get_carrier_prb_size(30, 40)
+        prb = nr_slot.get_carrier_prb_size(scs, bw)
         fd, usage = nr_slot.init_fd_slot(case[3], prb)
         fd, usage = ch.process(fd, usage, 0)
         out[f"fd_{i}"], out[f"usage_{i}"] = fd, usage
@@ -87,7 +94,7 @@ def _gen_pusch_goldens():
 
 @pytest.fixture(scope="module")
 def pusch_goldens():
-    return get_golden("pusch_slot", _gen_pusch_goldens)
+    return get_golden("pusch_slot2", _gen_pusch_goldens)
 
 
 @pytest.mark.parametrize("i", range(len(PUSCH_CASES)))
@@ -102,10 +109,11 @@ def test_ul_tbsize(pusch_goldens, i):
 def test_pusch_slot(pusch_goldens, i):
     case = PUSCH_CASES[i]
     cfg = _mk_cfg(get_default_config("pusch"), case)
+    scs, bw = case[8], case[9]
     carrier = merged(get_default_config("ul_carrier"),
-                     dict(BW=40, scs=30, num_of_ant=case[3], Nr=case[3]))
+                     dict(BW=bw, scs=scs, num_of_ant=case[3], Nr=case[3]))
     ch = pusch_mod.NrPUSCH(carrier, cfg)
-    prb = carrier_prb_size(30, 40)
+    prb = carrier_prb_size(scs, bw)
     fd = np.zeros((case[3], 14 * 12 * prb), np.complex64)
     usage = np.zeros((case[3], 14 * 12 * prb), np.int8)
     fd, usage = ch.process(fd, usage, 0)
