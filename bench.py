@@ -119,6 +119,25 @@ def bench_ldpc(schedule="flooded", n_iter_dec=32, batches=(128, 512)):
     return best, best_b
 
 
+def bench_polar_scl(B=64):
+    """CA-SCL codewords/s at PDCCH scale (N=512, L=8, scan impl)."""
+    import jax
+    import jax.numpy as jnp
+    from python_5gtoolbox_tpu.ops.polar.decode import polar_decode_scl
+
+    K, E, L = 164, 512, 8
+    rng = np.random.default_rng(2)
+    llr = jnp.asarray((rng.normal(size=(B, E)) * 2).astype(np.float32))
+
+    @jax.jit
+    def step(x, c):
+        ck, ok = polar_decode_scl(x + c, E, K, L, 9, 1, 24, 0, 0)
+        return jnp.float32(ck.sum()) + jnp.float32(ok.sum())
+
+    dt = _chain_time(step, llr, n_iter=5)
+    return B / dt
+
+
 def main():
     msps = bench_ofdm_duc()
     ldpc_cw_s, ldpc_b = bench_ldpc("flooded", 32)
@@ -126,8 +145,14 @@ def main():
     # (tests/test_ldpc.py::test_bler_layered_half_iterations), so its
     # L=16 point is the same-BLER deployment config
     lay_cw_s, lay_b = bench_ldpc("layered", 16)
+    scl_cw_s = bench_polar_scl()
 
     extra = [{
+        "metric": "polar_scl_throughput",
+        "value": round(scl_cw_s, 1),
+        "unit": "codewords/s",
+        "config": "N=512 K=164 L=8 CA-SCL scan B=64",
+    }, {
         "metric": "ldpc_decode_throughput",
         "value": round(ldpc_cw_s, 1),
         "unit": "codewords/s",

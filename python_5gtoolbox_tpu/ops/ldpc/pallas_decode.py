@@ -193,6 +193,150 @@ def _make_kernel(bgn: int, zc: int, n_iter: int, schedule: str = "flooded"):
     return kernel
 
 
+def _make_kernel_packed(bgn: int, zc: int, n_iter: int,
+                        schedule: str = "flooded"):
+    """Small-Zc layout: lanes = 128 packed CODEWORDS, sublanes = Zc.
+
+    For zc < 128 the standard layout pads the lane axis to 128 and
+    wastes (128-zc)/128 of the VPU; here state lives as (dim, zc, Bt)
+    with Bt=128 codewords filling the lanes and all cyclic shifts as
+    static SUBLANE slices. Same min-sum semantics, bit-identical.
+    """
+    rows, nrows, ncols = _graph(bgn, zc)
+    edge_off = np.cumsum([0] + [len(r) for r in rows])
+
+    def roll_fwd(x, p):
+        # x: (zc, Bt); variable -> check view: rows [p:] ++ [:p]
+        if p == 0:
+            return x
+        return jnp.concatenate([x[p:, :], x[:p, :]], axis=0)
+
+    def roll_bwd(x, p):
+        if p == 0:
+            return x
+        return jnp.concatenate([x[zc - p:, :], x[:zc - p, :]], axis=0)
+
+    def syndrome_ok(bits_i32):
+        """bits_i32 (ncols, zc, Bt) -> (1, Bt) int32 0/1."""
+        bad = None
+        for edges in rows:
+            acc = functools.reduce(
+                jnp.add, [roll_fwd(bits_i32[c], p) for c, p in edges])
+            rbad = jnp.max(acc & 1, axis=0, keepdims=True)  # (1, Bt)
+            bad = rbad if bad is None else jnp.maximum(bad, rbad)
+        return 1 - bad
+
+    def kernel(ab_ref, llr_ref, bits_ref, ok_ref, lq, lr):
+        alpha = ab_ref[0, 0]
+        beta = ab_ref[0, 1]
+        lq[:] = llr_ref[:]
+        lr[:] = jnp.zeros_like(lr)
+        bits_ref[:] = jnp.zeros_like(bits_ref)
+
+        def iter_body(_, done):
+            lq_v = lq[:]                                  # (ncols, zc, Bt)
+            bits = (lq_v < 0).astype(jnp.int32)
+            ok = syndrome_ok(bits)                        # (1, Bt)
+            newly = ok * (1 - done)
+            bits_ref[:] = jnp.where(newly[None, :, :] > 0,
+                                    bits.astype(jnp.int8), bits_ref[:])
+            done = jnp.maximum(done, ok)
+
+            if schedule == "flooded":
+                acc = [llr_ref[c] for c in range(ncols)]
+                for r, edges in enumerate(rows):
+                    ext = [roll_fwd(lq_v[c], p) - lr[edge_off[r] + k]
+                           for k, (c, p) in enumerate(edges)]
+                    msgs = _check_node_minsum(ext, alpha, beta)
+                    lr[edge_off[r]:edge_off[r + 1]] = jnp.stack(msgs,
+                                                               axis=0)
+                    for k, (c, p) in enumerate(edges):
+                        acc[c] = acc[c] + roll_bwd(msgs[k], p)
+                lq[:] = jnp.stack(acc, axis=0)
+            else:
+                cur = {c: lq_v[c] for c in range(ncols)}
+                for r, edges in enumerate(rows):
+                    ext = [roll_fwd(cur[c], p) - lr[edge_off[r] + k]
+                           for k, (c, p) in enumerate(edges)]
+                    msgs = _check_node_minsum(ext, alpha, beta)
+                    lr[edge_off[r]:edge_off[r + 1]] = jnp.stack(msgs,
+                                                               axis=0)
+                    for k, (c, p) in enumerate(edges):
+                        cur[c] = roll_bwd(ext[k] + msgs[k], p)
+                lq[:] = jnp.stack([cur[c] for c in range(ncols)], axis=0)
+            return done
+
+        bt = llr_ref.shape[-1]
+        done0 = jnp.zeros((1, bt), jnp.int32)
+        done = jax.lax.fori_loop(0, n_iter, iter_body, done0)
+
+        fbits = (lq[:] <= 0).astype(jnp.int32)
+        fok = syndrome_ok(fbits)
+        bits_ref[:] = jnp.where(done[None, :, :] > 0, bits_ref[:],
+                                fbits.astype(jnp.int8))
+        ok_ref[:] = jnp.maximum(done, fok)
+
+    return kernel
+
+
+_PACK_BT = 128  # codewords per lane tile in the packed layout
+
+
+def _packed_fits_vmem(zc: int, bgn: int) -> bool:
+    rows, nrows, ncols = _graph(bgn, zc)
+    n_edges = sum(len(r) for r in rows)
+    state = (n_edges + 2 * ncols) * zc * _PACK_BT * 4
+    return state <= _VMEM_STATE_BUDGET
+
+
+@functools.partial(
+    jax.jit, static_argnames=("zc", "bgn", "n_iter", "schedule", "interpret"))
+def _decode_packed_jit(llr_in, alpha, beta, *, zc, bgn, n_iter,
+                       schedule="flooded", interpret=False):
+    rows, nrows, ncols = _graph(bgn, zc)
+    n_edges = sum(len(r) for r in rows)
+    B = llr_in.shape[0]
+    bt = _PACK_BT
+    Bp = -(-B // bt) * bt
+    llr0 = jnp.concatenate(
+        [jnp.zeros((B, 2 * zc), jnp.float32), llr_in.astype(jnp.float32)],
+        axis=-1).reshape(B, ncols, zc)
+    llr0 = jnp.pad(llr0, ((0, Bp - B), (0, 0), (0, 0)))
+    llr0 = jnp.transpose(llr0, (1, 2, 0))               # (ncols, zc, Bp)
+    ab = jnp.stack([alpha, beta]).astype(jnp.float32)[None, :]
+
+    kernel = _make_kernel_packed(bgn, zc, n_iter, schedule)
+    bits3, ok = pl.pallas_call(
+        kernel,
+        grid=(Bp // bt,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ncols, zc, bt), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ncols, zc, bt), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ncols, zc, Bp), jnp.int8),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ncols, zc, bt), jnp.float32),
+            pltpu.VMEM((n_edges, zc, bt), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ab, llr0)
+    K = (22 if bgn == 1 else 10) * zc
+    full = jnp.transpose(bits3, (2, 0, 1)).reshape(Bp, ncols * zc)[:B]
+    ok_b = ok[0, :B].astype(bool)
+    return full[:, :K], ok_b, full
+
+
 @functools.partial(
     jax.jit, static_argnames=("zc", "bgn", "n_iter", "schedule", "interpret"))
 def _decode_jit(llr_in, alpha, beta, *, zc, bgn, n_iter, schedule="flooded",
@@ -243,14 +387,24 @@ def _decode_jit(llr_in, alpha, beta, *, zc, bgn, n_iter, schedule="flooded",
 
 def ldpc_decode_pallas(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
                        alpha: float = 1.0, beta: float = 0.0,
-                       schedule: str = "flooded", interpret: bool = False):
+                       schedule: str = "flooded", interpret: bool = False,
+                       layout: str = "auto"):
     """Decode (B, N) punctured-codeword LLRs with the Pallas kernel.
 
     Same contract as ops.ldpc.decode.ldpc_decode (min-sum family only):
     returns (bits (B, K) int8, ok (B,) bool, full_bits (B, ncols*Zc)).
     schedule="layered" sweeps check rows serially within an iteration
     (~2x convergence per iteration vs "flooded"; see decode.ldpc_decode).
+
+    layout="auto" picks the codeword-packed lane layout for zc < 128
+    (lanes carry 128 codewords, Zc rides the sublane axis, so small
+    liftings stop wasting (128-zc)/128 of the VPU); "batch"/"packed"
+    force one.
     """
-    return _decode_jit(llr_in, jnp.float32(alpha), jnp.float32(beta),
-                       zc=zc, bgn=bgn, n_iter=n_iter, schedule=schedule,
-                       interpret=interpret)
+    if layout == "auto":
+        layout = ("packed" if zc < 128 and _packed_fits_vmem(zc, bgn)
+                  else "batch")
+    fn = _decode_packed_jit if layout == "packed" else _decode_jit
+    return fn(llr_in, jnp.float32(alpha), jnp.float32(beta),
+              zc=zc, bgn=bgn, n_iter=n_iter, schedule=schedule,
+              interpret=interpret)
