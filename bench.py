@@ -25,9 +25,26 @@ vs_baseline for LDPC is measured against the reference decoder
 config; see _REF_LDPC_CW_PER_S provenance note.
 """
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache so repeat bench runs skip the
+    multi-minute axon compiles (first warm run pays them once)."""
+    import jax
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".jax_cache")
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass  # older jax: cache simply stays off
 
 # Reference nr_decode_ldpc(Zc=384, bgn=1, L=32, mixed-MS 0.8/0.3) on
 # this machine's CPU (2 vCPU), garbage LLRs (no early exit), getH
@@ -119,7 +136,7 @@ def bench_ldpc(schedule="flooded", n_iter_dec=32, batches=(128, 512)):
     return best, best_b
 
 
-def bench_polar_scl(B=64):
+def bench_polar_scl(B=256):
     """CA-SCL codewords/s at PDCCH scale (N=512, L=8, scan impl)."""
     import jax
     import jax.numpy as jnp
@@ -139,6 +156,7 @@ def bench_polar_scl(B=64):
 
 
 def main():
+    _enable_compile_cache()
     msps = bench_ofdm_duc()
     ldpc_cw_s, ldpc_b = bench_ldpc("flooded", 32)
     # layered schedule reaches the same BLER in half the iterations
@@ -151,7 +169,7 @@ def main():
         "metric": "polar_scl_throughput",
         "value": round(scl_cw_s, 1),
         "unit": "codewords/s",
-        "config": "N=512 K=164 L=8 CA-SCL scan B=64",
+        "config": "N=512 K=164 L=8 CA-SCL scan B=256",
     }, {
         "metric": "ldpc_decode_throughput",
         "value": round(ldpc_cw_s, 1),

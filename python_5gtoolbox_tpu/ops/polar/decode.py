@@ -402,30 +402,28 @@ def _scl_scan_jit(llr_in, rnti, *, E, K, list_size, n_max, i_il, crc_len,
         bit = jnp.where(isd, d_bit, fbit)
         pm = jnp.where(isd, d_pm, f_pm)
 
-        # one permute pass over the whole state (identity for forced)
-        alphas = [permute1(a, parent) for a in alphas]
+        # one permute pass over the whole state (identity for forced).
+        # alphas[n] is the channel LLR broadcast over paths - permuting
+        # it across the path axis is the identity, so skip it.
+        alphas = [permute1(a, parent) for a in alphas[:-1]] + [alphas[-1]]
         betas = [permute1(b, parent) for b in betas]
         u = permute1(u, parent)
 
         u = jax.lax.dynamic_update_slice_in_dim(
             u, bit[..., None], phi, axis=2)
 
-        # masked partial-sum propagation: combine below level t2, store at t2
-        cur = jnp.zeros((B, L, N), jnp.int8)
-        cur = cur.at[..., 0].set(bit)
+        # partial-sum propagation with level-native widths: cur at level
+        # l is 2^l wide and only meaningful while l <= t2 - the combine
+        # result above t2 is never stored (betas[l] update is masked to
+        # l == t2), so no masking of cur itself is needed.
+        cur = bit[..., None]                             # (B, L, 1)
         for l in range(n):
             w = 1 << l
-            cur_l = cur[..., :w]
             comb = jnp.stack(
-                [jnp.bitwise_xor(betas[l], cur_l), cur_l],
+                [jnp.bitwise_xor(betas[l], cur), cur],
                 axis=-1).reshape(B, L, 2 * w)
-            betas[l] = jnp.where(l == t2, cur_l, betas[l])
-            cur = jnp.where(
-                l < t2,
-                jnp.concatenate([comb, jnp.zeros((B, L, N - 2 * w),
-                                                 jnp.int8)], axis=-1)
-                if 2 * w < N else comb,
-                cur)
+            betas[l] = jnp.where(l == t2, cur, betas[l])
+            cur = comb
         return (tuple(alphas), tuple(betas), u, pm), None
 
     (alphas, betas, u, pm), _ = jax.lax.scan(
