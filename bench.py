@@ -137,7 +137,7 @@ def bench_ldpc(schedule="flooded", n_iter_dec=32, batches=(128, 512)):
 
 
 def bench_polar_scl(B=256):
-    """CA-SCL codewords/s at PDCCH scale (N=512, L=8, scan impl)."""
+    """CA-SCL codewords/s at PDCCH scale (N=512, L=8, chunked impl)."""
     import jax
     import jax.numpy as jnp
     from python_5gtoolbox_tpu.ops.polar.decode import polar_decode_scl
@@ -169,7 +169,7 @@ def main():
         "metric": "polar_scl_throughput",
         "value": round(scl_cw_s, 1),
         "unit": "codewords/s",
-        "config": "N=512 K=164 L=8 CA-SCL scan B=256",
+        "config": "N=512 K=164 L=8 CA-SCL chunked B=256",
     }, {
         "metric": "ldpc_decode_throughput",
         "value": round(ldpc_cw_s, 1),

