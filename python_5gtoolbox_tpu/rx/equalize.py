@@ -1,6 +1,6 @@
 """Per-RE channel equalization: ZF / MMSE (+IRC) / ML (+IRC).
 
-Behavior parity targets: py5gphy/channel_equalization/{ZF,MMSE,ML}.py and
+Behavior parity targets: py5gphy/channel_equalization/{ZF,MMSE,ML,ML2}.py and
 nr_channel_eq.py:12-70 (dispatcher + IRC whitening via eigendecomposition
 of the inverse covariance).
 
@@ -136,6 +136,52 @@ def ml(y, h, cov, modtype: str, irc: bool = False, soft: bool = True):
             llrs.append(llr)
     llr = jnp.stack(llrs, axis=-1)
     return s_est, nv, hard, llr
+
+
+def ml2(y, h, cov, modtype: str, irc: bool = False, soft: bool = True):
+    """Exact max-log ML (reference ML2.py:47-163), batched over REs.
+
+    Same minimum search as ml(), but the per-bit soft LLR is exact:
+    LLR = min over ALL candidate vectors with that bit = 1 minus the
+    min with that bit = 0 (the reference's ML uses the cheaper
+    single-opposite-symbol approximation instead). The reference
+    initializes both per-bit minima to max|Lv|; Lv >= 0 and every bit
+    value occurs in the full product set, so that cap never binds and
+    a plain masked min is identical.
+    """
+    if irc:
+        y, h = _whiten(y, h, cov)
+        cov = jnp.broadcast_to(jnp.eye(h.shape[-2], dtype=h.dtype),
+                               cov.shape)
+    n, nr, nl = h.shape
+    syms, bits = constellation(modtype)
+    q = len(syms)
+    qm = np.asarray(bits).shape[1]
+    grids = np.meshgrid(*([np.arange(q)] * nl), indexing="ij")
+    cand_idx = np.stack([g.reshape(-1) for g in grids], axis=-1)
+    cand = jnp.asarray(np.asarray(syms)[cand_idx])          # (C, nl)
+    cand_bits = np.concatenate([np.asarray(bits)[cand_idx[:, l]]
+                                for l in range(nl)], axis=1)  # (C, nl*qm)
+    hs = jnp.einsum("nrl,cl->ncr", h, cand)                 # (N, C, Nr)
+    dist = jnp.sum(jnp.abs(y[:, None, :] - hs) ** 2, axis=-1)  # (N, C)
+    sigma2 = jnp.mean(jnp.real(jnp.diagonal(cov, axis1=-2, axis2=-1)),
+                      axis=-1)
+    lv = dist / sigma2[:, None]
+    best = jnp.argmin(lv, axis=-1)
+    s_est = cand[best]                                      # (N, nl)
+    hard = jnp.asarray(cand_bits, jnp.int8)[best]           # (N, nl*qm)
+    min_lv = jnp.take_along_axis(lv, best[:, None], axis=1)[:, 0]
+    nv = jnp.broadcast_to(min_lv[:, None], (n, nl))
+    if not soft:
+        return s_est, nv, hard, (1 - 2 * hard).astype(jnp.float32)
+    inf = jnp.asarray(np.inf, lv.dtype)
+    llrs = []
+    for i in range(nl * qm):
+        is1 = jnp.asarray(cand_bits[:, i] == 1)[None, :]
+        v1 = jnp.min(jnp.where(is1, lv, inf), axis=1)
+        v0 = jnp.min(jnp.where(is1, inf, lv), axis=1)
+        llrs.append(v1 - v0)
+    return s_est, nv, hard, jnp.stack(llrs, axis=-1)
 
 
 def _ml_finish(y, h, cov, modtype, s_est, best_lay_idx, soft):
@@ -334,10 +380,12 @@ def channel_equ_and_demod(y, h, cov, modtype: str, ceq_config: dict):
         s, nv = fn(y, h, cov, irc=algo.endswith("IRC"))
         hard, llr = demodulate(s.reshape(-1), modtype, nv.reshape(-1))
         return s, nv, hard, llr
-    if algo in ("ML-soft", "ML-hard", "ML-IRC-soft", "ML-IRC-hard",
-                "ML2-soft", "ML2-IRC-soft"):
+    if algo in ("ML-soft", "ML-hard", "ML-IRC-soft", "ML-IRC-hard"):
         s, nv, hard, llr = ml(y, h, cov, modtype, irc="IRC" in algo,
                               soft=not algo.endswith("hard"))
+        return s, nv, hard.reshape(-1), llr.reshape(-1)
+    if algo in ("ML2-soft", "ML2-IRC-soft"):
+        s, nv, hard, llr = ml2(y, h, cov, modtype, irc="IRC" in algo)
         return s, nv, hard.reshape(-1), llr.reshape(-1)
     if algo in ("MMSE-ML", "MMSE-ML-IRC"):
         s, nv, hard, llr = mmse_ml(y, h, cov, modtype, irc="IRC" in algo)
