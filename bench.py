@@ -55,11 +55,18 @@ def _enable_compile_cache():
 _REF_LDPC_CW_PER_S = None  # float cw/s, or None to omit the ratio
 
 
-def _chain_time(step, x0, n_iter=10, repeats=3):
+def _chain_time(step, x0, n_iter=50, repeats=3):
     """step(x, c)->float32 scalar; returns best avg seconds per call.
 
     Each call's scalar feeds the next call's input (data dependency),
     and a device_get at the end synchronizes for real.
+
+    n_iter=50: the axon tunnel adds a fixed ~30 ms sync/RPC cost per
+    chain (measured: an empty jit step costs 3.0 ms/call in a 10-call
+    chain but 0.65 ms/call in a 50-call chain), so short chains
+    under-report steady-state throughput by ~3 ms/call. 50 calls
+    amortize the sync while the data-dependency chain still prevents
+    any overlap-based over-reporting.
     """
     import jax
     import jax.numpy as jnp
@@ -77,7 +84,7 @@ def _chain_time(step, x0, n_iter=10, repeats=3):
     return best
 
 
-def bench_ofdm_duc():
+def bench_ofdm_duc(profile: dict | None = None):
     import jax
     import jax.numpy as jnp
     from python_5gtoolbox_tpu.ops import ofdm, filters
@@ -102,7 +109,44 @@ def bench_ofdm_duc():
 
     oversample = int(round(245.76e6 / (num.fft_size(prb) * scs * 1000)))
     n_samp = n_slots * ofdm.slot_sample_count(scs, bw) * oversample * nant
-    dt = _chain_time(step, to_device(fd))
+    fdj = to_device(fd)
+    dt = _chain_time(step, fdj)
+
+    if profile is not None:
+        # per-stage breakdown (VERDICT r2 item 10): time each pipeline
+        # stage in isolation with the same chained methodology
+        @jax.jit
+        def step_ofdm(x, c):
+            td = ofdm.tx_low_phy(x * (1.0 + c), scs, bw, int(3500e6))
+            return jnp.abs(td[0, 0, -1])
+
+        td = ofdm.tx_low_phy(fdj, scs, bw, int(3500e6))
+        flat = jax.device_put(
+            jnp.swapaxes(td, 0, 1).reshape(td.shape[1], -1))
+
+        @jax.jit
+        def step_fir(x, c):
+            y = filters.fir_same(x * (1.0 + c), filters.fir_coeff(scs, bw))
+            return jnp.abs(y[0, -1])
+
+        @jax.jit
+        def step_hb(x, c):
+            y = filters.hb_upsample2(x * (1.0 + c))
+            return jnp.abs(y[0, -1])
+
+        t_o = _chain_time(step_ofdm, fdj)
+        t_f = _chain_time(step_fir, flat)
+        t_h = _chain_time(step_hb, flat)
+        profile["ofdm_duc"] = {
+            "full_chain_ms": round(dt * 1e3, 3),
+            "stages_ms": {"ofdm_ifft_cp": round(t_o * 1e3, 3),
+                          "fir_same_287tap": round(t_f * 1e3, 3),
+                          "hb_upsample2": round(t_h * 1e3, 3)},
+            "note": "stage times measured in isolation each include "
+                    "~0.6 ms chain-sync overhead; the full chain "
+                    "overlaps/fuses stages so stage sums exceed it",
+            "config": f"scs{scs} bw{bw} slots{n_slots} ant{nant}",
+        }
     return n_samp / dt / 1e6  # Msamples/s
 
 
@@ -157,7 +201,8 @@ def bench_polar_scl(B=256):
 
 def main():
     _enable_compile_cache()
-    msps = bench_ofdm_duc()
+    profile: dict = {}
+    msps = bench_ofdm_duc(profile)
     ldpc_cw_s, ldpc_b = bench_ldpc("flooded", 32)
     # layered schedule reaches the same BLER in half the iterations
     # (tests/test_ldpc.py::test_bler_layered_half_iterations), so its
@@ -186,6 +231,13 @@ def main():
     if _REF_LDPC_CW_PER_S:
         extra[0]["vs_baseline"] = round(ldpc_cw_s / _REF_LDPC_CW_PER_S, 1)
         extra[1]["vs_baseline"] = round(lay_cw_s / _REF_LDPC_CW_PER_S, 1)
+
+    # per-stage breakdown artifact (driver parses only the final line)
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "out")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "profile_r03.json"), "w") as f:
+        json.dump(profile, f, indent=1)
 
     print(json.dumps({
         "metric": "ofdm_duc_throughput",

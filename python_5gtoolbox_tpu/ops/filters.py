@@ -147,48 +147,46 @@ def _blocked_plan(taps_key: bytes, n: int, mode: str, L: int):
     return hl, hr, (M * scale).astype(np.float32)
 
 
-def _frames_by_slices(xpad: jnp.ndarray, nf: int, L: int, B: int):
-    """(..., nf*L + B - L) -> (..., nf, B) overlapping frames.
-
-    Built from ceil(B/L)+1 shifted strided SLICES (reshape-concat), not
-    a gather — XLA turns each slice into a cheap copy."""
-    parts = []
-    for o in range(0, B, L):
-        w = min(L, B - o)
-        seg = jax.lax.slice_in_dim(xpad, o, o + (nf - 1) * L + w, axis=-1)
-        if w == L:
-            parts.append(seg.reshape(seg.shape[:-1] + (nf, L)))
-        else:
-            # last partial column block: pad the tail so it reshapes
-            seg = jnp.pad(seg, [(0, 0)] * (seg.ndim - 1)
-                          + [(0, nf * L - seg.shape[-1])])
-            parts.append(seg.reshape(seg.shape[:-1] + (nf, L))[..., :w])
-    return jnp.concatenate(parts, axis=-1)
-
-
 def _blocked_conv(x: jnp.ndarray, taps: np.ndarray, mode: str,
                   L: int | None = None) -> jnp.ndarray:
-    """Overlap-save frames @ banded-Toeplitz matmul (complex via planes)."""
+    """Block-Toeplitz convolution as D shifted GEMMs (complex via planes).
+
+    The banded Toeplitz M (B, L_out) from _blocked_plan is split along
+    its input axis into D = ceil(B/L) chunks M_d; frame m's output is
+    sum_d Xb[m + d] @ M_d where Xb is simply the padded input reshaped
+    to (nf + D, L) — a shifted SLICE per term, so no overlapping-frames
+    materialization pass at all (the previous frames+single-GEMM
+    version spent ~40% of its runtime building the (..., nf, B) frame
+    tensor). FLOPs per output sample are D*L ~= L + n - 1 either way.
+    """
     n = len(taps)
     if L is None:
-        # smaller frames = fewer wasted MACs (per-sample cost is B =
-        # L + n - 1); 128 output lanes already fill the MXU tile
-        L = 128 if n < 128 else 256
+        # small L keeps D*L (per-output MACs) near the tap count; 128
+        # matches the MXU tile so M_d chunks stay full-lane. Measured
+        # on v5e: 55-tap HB fastest at 128, 287-tap FIR at 512.
+        L = 128 if n <= 256 else 512
     hl, hr, M = _blocked_plan(
         np.ascontiguousarray(taps, np.float64).tobytes(), n, mode, L)
     B = L + hl + hr
+    L_out = M.shape[1]
+    D = -(-B // L)
     T = x.shape[-1]
     lead = x.shape[:-1]
     nf = -(-T // L)
     xpad = jnp.pad(x, [(0, 0)] * (x.ndim - 1)
-                   + [(hl, nf * L - T + hr + L)])
-    frames = _frames_by_slices(xpad, nf, L, B)                # (..., nf, B)
-    Mj = jnp.asarray(M)
-    planes = jnp.stack([jnp.real(frames), jnp.imag(frames)])
-    y = jax.lax.dot_general(
-        planes.astype(jnp.float32), Mj,
-        (((planes.ndim - 1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)                  # (2,...,nf,Lo)
+                   + [(hl, (nf + D) * L - T - hl)])
+    planes = jnp.stack([jnp.real(xpad), jnp.imag(xpad)]).astype(jnp.float32)
+    xb = planes.reshape(planes.shape[:-1] + (nf + D, L))
+    y = None
+    for d in range(D):
+        md = np.zeros((L, L_out), np.float32)
+        md[: min(L, B - d * L)] = M[d * L: (d + 1) * L]
+        term = jax.lax.dot_general(
+            jax.lax.slice_in_dim(xb, d, d + nf, axis=-2),
+            jnp.asarray(md),
+            (((xb.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGH)                 # (2,...,nf,Lo)
+        y = term if y is None else y + term
     out = jax.lax.complex(y[0], y[1]).astype(jnp.complex64)
     out = out.reshape(lead + (-1,))
     n_out = {"same": T, "up2": 2 * T, "down2": T // 2}[mode]

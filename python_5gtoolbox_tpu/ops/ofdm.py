@@ -31,18 +31,6 @@ def _cp_table(scs: int, nfft: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _cp_gather_index(scs: int, nfft: int) -> np.ndarray:
-    """Flat index into (14*nfft,) IFFT output producing the CP'd slot."""
-    cps = _cp_table(scs, nfft)
-    idx = []
-    for m in range(14):
-        base = m * nfft
-        idx.append(base + np.arange(nfft - cps[m], nfft))  # CP
-        idx.append(base + np.arange(nfft))                 # body
-    return np.concatenate(idx).astype(np.int32)
-
-
-@functools.lru_cache(maxsize=None)
 def _phase_comp(scs: int, nfft: int, carrier_freq_hz: int) -> np.ndarray:
     """Per-symbol phase compensation e^{-j2πΔ(t_off+CP)} (tx_lowphy:72-75)."""
     cps = _cp_table(scs, nfft)
@@ -90,7 +78,6 @@ def tx_low_phy(fd_slots: jnp.ndarray, scs: int, bw: int,
     lo = (nfft - n_sc) // 2
     pad = [(0, 0)] * (x.ndim - 1) + [(lo, nfft - n_sc - lo)]
     spec = jnp.pad(x, pad)
-    spec = jnp.fft.ifftshift(spec, axes=-1)
     # The reference calls ifftshift without axes on its (ant, nfft)
     # buffer (tx_lowphy_process.py:63), which also rolls the ANTENNA
     # axis by nant//2 — a pure antenna permutation that its Rx side
@@ -98,10 +85,28 @@ def tx_low_phy(fd_slots: jnp.ndarray, scs: int, bw: int,
     nant = spec.shape[-3]
     if nant > 1:
         spec = jnp.roll(spec, -(nant // 2), axis=-3)
-    td = jnp.fft.ifft(spec, axis=-1) * np.sqrt(nfft)
-    td = td * jnp.asarray(_phase_comp(scs, nfft, carrier_freq_hz))[:, None]
-    flat = td.reshape(td.shape[:-2] + (14 * nfft,))
-    out = flat[..., jnp.asarray(_cp_gather_index(scs, nfft))]
+    # ifftshift (circular shift by nfft/2) folded into the output as a
+    # (-1)^m sign: ifft(roll(X, -N/2))[m] == ifft(X)[m] * (-1)^m for
+    # even N — saves a full 63 MB roll pass; the sign rides the
+    # phase-comp multiply for free (XLA fuses the elementwise chain).
+    td = jnp.fft.ifft(spec, axis=-1)
+    sign = np.ones(nfft, np.float32)
+    sign[1::2] = -1.0
+    td = td * (jnp.asarray(sign * np.sqrt(nfft))
+               * jnp.asarray(_phase_comp(scs, nfft, carrier_freq_hz)
+                             )[:, None])
+    # CP insertion as static slices + one concat (NOT a gather: XLA
+    # lowers a 14*nfft-point gather to a serialized ~1-element/cycle
+    # loop on TPU, which dominated the whole OFDM stage)
+    parts = []
+    cps = _cp_table(scs, nfft)
+    for m in range(14):
+        sym = jax.lax.slice_in_dim(td, m, m + 1, axis=-2)
+        parts.append(jax.lax.slice_in_dim(
+            sym, nfft - int(cps[m]), nfft, axis=-1))
+        parts.append(sym)
+    out = jnp.concatenate([p.reshape(p.shape[:-2] + (-1,)) for p in parts],
+                          axis=-1)
     return out.astype(jnp.complex64)
 
 
@@ -124,16 +129,17 @@ def rx_low_phy(td_slots: jnp.ndarray, scs: int, bw: int,
         n_sc = 12 * num.carrier_prb_size(scs, bw)
     cps = _cp_table(scs, nfft)
     half = int(cps[1]) // 2  # half of the SHORT CP, same for every symbol
-    # gather each symbol's FFT window (advanced by half a short CP)
-    idx = []
+    # slice each symbol's FFT window (advanced by half a short CP);
+    # static slices + stack instead of a gather (see tx_low_phy note)
+    wins = []
     off = 0
     for m in range(14):
         cp = int(cps[m])
         start = off + cp - half
-        idx.append(np.arange(start, start + nfft))
+        wins.append(jax.lax.slice_in_dim(td_slots, start, start + nfft,
+                                         axis=-1))
         off += cp + nfft
-    idx = np.stack(idx)  # (14, nfft)
-    win = td_slots[..., jnp.asarray(idx.astype(np.int32))]  # (..., ant, 14, nfft)
+    win = jnp.stack(wins, axis=-2)                  # (..., ant, 14, nfft)
     # undo per-symbol tx phase compensation
     pc = _phase_comp(scs, nfft, carrier_freq_hz)
     win = win * jnp.asarray(np.conj(pc))[:, None]

@@ -150,9 +150,11 @@ class NrChannelEstimation:
             elif fo_status:
                 self.comp_H_LS_freq_offset(fo_est)
         algo = self.CE_config["CE_algo"]
-        assert algo in ("DFT", "DCT"), f"unsupported CE algo {algo}"
-        h, cov = dft_dct_channel_estimate(self.H_LS, self.RS_info,
-                                          self.CE_config, algo)
+        base = algo.replace("_symmetric", "")
+        assert base in ("DFT", "DCT"), f"unsupported CE algo {algo}"
+        h, cov = dft_dct_channel_estimate(
+            self.H_LS, self.RS_info, self.CE_config, base,
+            symmetric=algo.endswith("_symmetric"))
         self.H_result, self.cov_m = h, cov
         return h, cov
 
@@ -187,9 +189,16 @@ def _hls_extra(sel, ek, right_ek, rd):
     return np.concatenate([left, sel, right])
 
 
-def dft_dct_channel_estimate(H_LS, RS_info, CE_config, model="DFT"):
+def dft_dct_channel_estimate(H_LS, RS_info, CE_config, model="DFT",
+                             symmetric=False):
     """Denoising channel estimate -> (H (14, RE*rd, Nr, Nt), cov (14, PRB,
-    Nr, Nr)). Mirrors dft_dct_CE.DFT_DCT_channel_estimate."""
+    Nr, Nr)). Mirrors dft_dct_CE.DFT_DCT_channel_estimate and, with
+    symmetric=True, dft_dct_symmetric_CE.DFT_DCT_symmetric_channel_estimate
+    (mirror-extend before the transform; L_right forced equal to L_left
+    with the size//3 + size//16 cap; the reference computes but never
+    uses the two-half combination H_comb — the interpolation runs on the
+    full 2M-length spectrum and the mirrored half is dropped by the
+    final slice, reproduced here exactly)."""
     rd = RS_info["RE_distance"]
     scs = RS_info["scs"]
     l_left_ns = CE_config["L_symm_left_in_ns"]
@@ -214,6 +223,8 @@ def dft_dct_channel_estimate(H_LS, RS_info, CE_config, model="DFT"):
         cols,
         _lsq_extend(np.arange(re_num - n_edge, re_num), cols[:, -n_edge:],
                     np.arange(re_num, re_num + right_ek))], axis=1)
+    if symmetric:
+        ext = np.concatenate([ext, ext[:, ::-1]], axis=1)
     if model == "DFT":
         h_sym = sfft.ifft(sfft.ifftshift(ext, axes=-1), axis=-1) \
             * np.sqrt(ext.shape[-1])
@@ -222,7 +233,11 @@ def dft_dct_channel_estimate(H_LS, RS_info, CE_config, model="DFT"):
             + 1j * sfft.dct(ext.imag.copy(), norm="ortho", axis=-1)
     fs_tap = scs * 1000 * rd * ext.shape[-1]
     l_l = int(l_left_ns * 1e-9 * fs_tap)
-    l_r = int(l_right_ns * 1e-9 * fs_tap)
+    if symmetric:
+        l_l = min(ext.shape[-1] // 3 + ext.shape[-1] // 16, l_l)
+        l_r = l_l
+    else:
+        l_r = int(l_right_ns * 1e-9 * fs_tap)
     mid = h_sym[:, l_l: h_sym.shape[-1] - l_r]
     noise_p = np.mean(np.abs(mid) ** 2, axis=-1, keepdims=True)
     h_sym = np.where(np.abs(h_sym) < np.sqrt(noise_p / 2), 0, h_sym)
