@@ -30,7 +30,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from python_5gtoolbox_tpu.phy.csirs import NrCSIRS
-from python_5gtoolbox_tpu.utils.numerology import carrier_prb_size
 
 # 38.214 Table 5.2.2.1-2 (table1, 64QAM), -3 (table2, 256QAM),
 # -4 (table3, 64QAM low SE): (modulation order Qm, R*1024, efficiency)
@@ -171,9 +170,16 @@ def csirs_channel_estimate(fd_slot_rx: np.ndarray, nrcsirs: NrCSIRS,
         if p == 0:
             prbs = (grp[:, 0] % n_sc) // 12
     h = jnp.stack(hs, -1)                              # (ng, Nr, P)
-    # noise from adjacent-group half-differences (flat-channel residual)
-    d = h[1:] - h[:-1]
-    n_var = jnp.mean(jnp.abs(d) ** 2) / 2 * gsz
+    # Blind noise estimate from SECOND differences across adjacent CDM
+    # groups: d2 = h[k+1] - 2 h[k] + h[k-1] cancels any linearly-varying
+    # channel (Var(d2) = 6 sigma_h^2 for white estimation noise), so
+    # frequency selectivity biases this far less than the first
+    # difference would. A quadratic-or-faster channel variation across
+    # three groups still leaks in and biases SINR/CQI low on very
+    # dispersive channels — pass noise_var explicitly to report() when
+    # a receiver-side estimate is available.
+    d2 = h[2:] - 2.0 * h[1:-1] + h[:-2]
+    n_var = jnp.mean(jnp.abs(d2) ** 2) / 6 * gsz
     return h, prbs, n_var
 
 
@@ -205,6 +211,12 @@ class NrCSIRSReport:
         self.n_rx = n_rx
         self.prb_size = self.nrcsirs.prb_size
         self.sb_size = rc.get("SubbandSize", 8)
+        # 38.214 5.2.1.4: subbands are BWP-relative with a possibly
+        # partial first subband of sb_size - (N_start_BWP mod sb_size)
+        # PRBs. The toolbox models one BWP per carrier at CRB offset 0
+        # (reference envelope), so the default is 0; a nonzero value
+        # shifts the subband boundaries accordingly.
+        self.n_start_bwp = int(rc.get("NStartBWP", 0))
         if "Subband" in (self.cqi_mode, self.pmi_mode):
             ok = valid_subband_sizes(self.prb_size)
             assert self.sb_size in ok, (
@@ -229,8 +241,11 @@ class NrCSIRSReport:
             fd_slot_rx, self.nrcsirs, sfn, slot)
         n_var = float(n_est) if noise_var is None else float(noise_var)
         n_var = max(n_var, 1e-9)
-        # average the per-group estimates into subbands
-        sb_of_group = np.asarray(prbs) // self.sb_size
+        # average the per-group estimates into subbands (boundaries per
+        # 38.214 5.2.1.4: partial first subband when the BWP start is
+        # not subband-aligned)
+        sb_of_group = (np.asarray(prbs)
+                       + self.n_start_bwp % self.sb_size) // self.sb_size
         sbs = np.unique(sb_of_group)
         sel = jnp.asarray(
             np.stack([(sb_of_group == s) for s in sbs]).astype(np.float32))

@@ -20,13 +20,36 @@ always run on the TPU.
 from __future__ import annotations
 
 import os
+import pathlib
+
+
+def enable_persistent_compile_cache() -> None:
+    """Point XLA's persistent compilation cache at <repo>/.jax_cache.
+
+    On axon this is what makes TPU sims viable: each config shape's
+    multi-minute executable compile is paid once EVER instead of once
+    per process. CPU runs benefit too (the test suite compiles
+    thousands of small executables).
+    """
+    import jax
+
+    path = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+    path.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass  # older jax: cache simply stays off
 
 
 def use_cpu_for_host_pipelines() -> None:
     """Route this process's JAX work to CPU unless PY5G_FORCE_TPU=1.
 
-    Must be called before the first JAX device use.
+    Must be called before the first JAX device use. Always enables the
+    persistent compile cache (see enable_persistent_compile_cache).
     """
+    enable_persistent_compile_cache()
     if os.environ.get("PY5G_FORCE_TPU") == "1":
         return
     import jax

@@ -10,6 +10,8 @@ SURVEY.md 3.3:
 """
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 
 from python_5gtoolbox_tpu.models import channel as chan_mod
@@ -27,13 +29,22 @@ DEFAULT_CE_CONFIG = dict(enable_TO_comp=True, enable_FO_est=True,
 DEFAULT_LDPC_CONFIG = dict(L=16, algo="min-sum", alpha=1.0, beta=0.0)
 
 
+class _NullProfiler:
+    @contextlib.contextmanager
+    def stage(self, name, items=0.0, unit="items"):
+        yield
+
+
 def pdsch_before_ceq_processing(carrier_config, pdsch_config, chan_cfg,
                                 pnoise_db, n_slots=2, seed=0,
-                                ce_config=None):
+                                ce_config=None, prof=None):
     """TX + channel + Rx low-PHY + channel estimation for each slot.
 
     Returns (nrPdsch, per-slot list of (rx_fd_slot, H_result, cov_m, est)).
+    prof: optional utils.profiling.StageProfiler accumulating per-stage
+    wall time (tx_waveform / channel / rx_lowphy / channel_est).
     """
+    prof = prof or _NullProfiler()
     ce_config = dict(DEFAULT_CE_CONFIG, **(ce_config or {}))
     scs, bw = carrier_config["scs"], carrier_config["BW"]
     prb = carrier_prb_size(scs, bw)
@@ -50,10 +61,13 @@ def pdsch_before_ceq_processing(carrier_config, pdsch_config, chan_cfg,
         fs_hz, scs, seed=seed)
     dm = model.gen_Dm(n_slots)
 
-    fd, td, dl, _ = dl_wf.gen_dl_waveform(
-        waveform_config, carrier_config, nrPdsch_list=[nr_pdsch], Dm=dm)
-    rx = model.filter(dl)
-    _, rx_fd = rx_wf.waveform_rx_processing(rx, carrier_config, fs_hz)
+    with prof.stage("tx_waveform", items=n_slots, unit="slots"):
+        fd, td, dl, _ = dl_wf.gen_dl_waveform(
+            waveform_config, carrier_config, nrPdsch_list=[nr_pdsch], Dm=dm)
+    with prof.stage("channel", items=dl.shape[-1], unit="samples"):
+        rx = model.filter(dl)
+    with prof.stage("rx_lowphy", items=n_slots, unit="slots"):
+        _, rx_fd = rx_wf.waveform_rx_processing(rx, carrier_config, fs_hz)
 
     n_sc = 12 * prb
     slot_size = 14 * n_sc
@@ -64,32 +78,38 @@ def pdsch_before_ceq_processing(carrier_config, pdsch_config, chan_cfg,
                 pdsch_config["allocated_slots"]:
             per_slot.append((rx_slot, None, None, None))
             continue
-        h_ls, rs_info = nr_pdsch.H_LS_est(rx_slot, slot)
-        rs_info["scs"] = scs
-        est = NrChannelEstimation(h_ls, rs_info, ce_config)
-        H, cov = est.channel_est()
+        with prof.stage("channel_est", items=1, unit="slots"):
+            h_ls, rs_info = nr_pdsch.H_LS_est(rx_slot, slot)
+            rs_info["scs"] = scs
+            est = NrChannelEstimation(h_ls, rs_info, ce_config)
+            H, cov = est.channel_est()
         per_slot.append((rx_slot, H, cov, est))
     return nr_pdsch, per_slot
 
 
 def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
                          snr_db_list, ceq_algo_list, n_slots=2,
-                         ce_config=None, ldpc_config=None, seed=0):
+                         ce_config=None, ldpc_config=None, seed=0,
+                         prof=None):
     """-> dict algo -> [TB pass-rate per SNR] (+ 'tbs_bits')."""
     ldpc_config = dict(DEFAULT_LDPC_CONFIG, **(ldpc_config or {}))
+    prof_ = prof or _NullProfiler()
     results = {algo: [] for algo in ceq_algo_list}
     for snr in snr_db_list:
         nr_pdsch, slots = pdsch_before_ceq_processing(
             carrier_config, pdsch_config, chan_cfg, -snr, n_slots, seed,
-            ce_config)
+            ce_config, prof=prof)
         for algo in ceq_algo_list:
             npass = ntot = 0
             nr_pdsch.rvidx = -1
             for slot, (rx_slot, H, cov, est) in enumerate(slots):
                 if H is None:
                     continue
-                ok, tbblk, _ = nr_pdsch.RX_process(
-                    rx_slot, slot, {"algo": algo}, H, cov, ldpc_config, est)
+                with prof_.stage(f"rx_process[{algo}]", items=1,
+                                 unit="slots"):
+                    ok, tbblk, _ = nr_pdsch.RX_process(
+                        rx_slot, slot, {"algo": algo}, H, cov,
+                        ldpc_config, est)
                 npass += int(ok)
                 ntot += 1
             results[algo].append(npass / max(ntot, 1))
