@@ -24,8 +24,9 @@ from scripts.internal import sim_pdsch_throughput_internal as internal  # noqa: 
 Nt, Nr = 2, 4
 # SNR range straddling the waterfall so the committed artifact actually
 # DISCRIMINATES between equalizers (VERDICT r2 weak item 7: the old
-# 8..11 dB range showed 1.0 throughput everywhere)
-snr_db_list = np.arange(0.0, 12.0, 2.0).tolist()
+# 8..11 dB range showed 1.0 throughput everywhere; with Nr=4 diversity
+# the MMSE-IRC waterfall for this config sits at -8..-2 dB)
+snr_db_list = np.arange(-8.0, 5.0, 2.0).tolist()
 ceq_algo_list = ["MMSE", "MMSE-IRC", "ML-IRC-soft", "ML2-IRC-soft"]
 # 20 slots at fm=200 Hz: the 10 ms waveform spans ~4 channel coherence
 # intervals, so per-SNR pass rates average several fade realizations
