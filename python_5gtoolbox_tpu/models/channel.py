@@ -256,7 +256,11 @@ class NrChannelModel:
             mask = (idx >= sh) if sh >= 0 else (idx < n + sh)
             tx = jnp.where(mask[None, :], tx, 0)
         if self.multi_paths:
-            acc = jnp.zeros((self.nr, n), jnp.complex64)
+            # eager complex64 zeros would materialize a complex host
+            # constant, which the axon plugin cannot transfer; build it
+            # on-device from real planes instead
+            zre = jnp.zeros((self.nr, n), jnp.float32)
+            acc = jax.lax.complex(zre, zre)
             for path in self.multi_paths:
                 delay_s = path[0] * 1e-9
                 power_db = path[1]

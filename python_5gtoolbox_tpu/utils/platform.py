@@ -10,12 +10,18 @@ throughput-sim step (scs30/BW20, 2x2 AWGN, MMSE-IRC, 2 slots):
 ~1.1 s steady-state on chip, but ~14 min of axon executable compiles
 on first use of each config shape.
 
-Host-interleaved sims therefore still DEFAULT to CPU on this machine:
-their per-RE/per-slot shapes recompile per config, and the remote
-axon compile latency dominates any device speedup for short sweeps.
-Set PY5G_FORCE_TPU=1 to run them on the accelerator (works; useful
-for long sweeps that reuse one config shape). The bench/graft paths
-always run on the TPU.
+Host-interleaved sims DEFAULT to CPU on this machine — by MEASUREMENT,
+not compile cost (round 3, out/tpu_vs_cpu_sim.json): with the
+persistent compile cache warm, a 20-slot PDSCH sweep runs 5.4 s on the
+chip vs 1.9 s on the 2-vCPU host, and the heavier PUSCH _2_11 loop
+5.4 s vs 3.4 s. Decode outcomes are identical on both platforms. The
+chip loses because per-slot interleaved RX issues hundreds of small
+dispatches (~0.65-3 ms each over the axon tunnel) and the numpy
+channel-estimation stage forces per-slot host<->device transfers;
+flipping the default needs slot-batched RX dispatch, not just cached
+compiles. Set PY5G_FORCE_TPU=1 to run sims on the accelerator anyway.
+The batched pure-device paths (bench, graft entry) always use the TPU
+and win big there.
 """
 from __future__ import annotations
 
