@@ -20,6 +20,15 @@ Complex boundary: axon cannot transfer complex buffers host<->device
 OFDM input goes up via utils.host.to_device (float32 planes fused
 on-device) and every fetched value is float32.
 
+Throughput floor (measured r3): this chip's MXU sustains ~15-16
+TFLOP/s on these GEMM shapes at ANY precision (bf16 DEFAULT is no
+faster than HIGH), and its XLA FFT does the bench's 63 MB IFFT batch
+in ~1.7 ms. The OFDM+DUC chain's ~48 GFLOP of banded-Toeplitz matmul
+plus the FFT therefore floors near ~4.5-5.5 ms per 15.7 M samples —
+the current number sits at that floor; a radix-64 MXU IFFT was
+measured SLOWER (2.2 ms) than the XLA FFT, and a Pallas rewrite
+cannot exceed the MXU unit rate.
+
 vs_baseline for LDPC is measured against the reference decoder
 (py5gphy/ldpc/nr_ldpc_decode.py:11) on this machine's CPU at the same
 config; see _REF_LDPC_CW_PER_S provenance note.

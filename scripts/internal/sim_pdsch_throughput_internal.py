@@ -71,19 +71,24 @@ def pdsch_before_ceq_processing(carrier_config, pdsch_config, chan_cfg,
 
     n_sc = 12 * prb
     slot_size = 14 * n_sc
+    spf = slots_per_frame(scs)
     per_slot = []
-    for slot in range(n_slots):
-        rx_slot = rx_fd[:, slot * slot_size: (slot + 1) * slot_size]
+    for idx in range(n_slots):
+        # the TX side numbers slots WITHIN the frame (waveform/dl.py:
+        # slot = idx % slots_per_frame) — the RX must use the same
+        # number or every DMRS c_init is wrong from the second frame on
+        slot = idx % spf
+        rx_slot = rx_fd[:, idx * slot_size: (idx + 1) * slot_size]
         if (slot % pdsch_config["period_in_slot"]) not in \
                 pdsch_config["allocated_slots"]:
-            per_slot.append((rx_slot, None, None, None))
+            per_slot.append((rx_slot, None, None, None, slot))
             continue
         with prof.stage("channel_est", items=1, unit="slots"):
             h_ls, rs_info = nr_pdsch.H_LS_est(rx_slot, slot)
             rs_info["scs"] = scs
             est = NrChannelEstimation(h_ls, rs_info, ce_config)
             H, cov = est.channel_est()
-        per_slot.append((rx_slot, H, cov, est))
+        per_slot.append((rx_slot, H, cov, est, slot))
     return nr_pdsch, per_slot
 
 
@@ -95,14 +100,17 @@ def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
     ldpc_config = dict(DEFAULT_LDPC_CONFIG, **(ldpc_config or {}))
     prof_ = prof or _NullProfiler()
     results = {algo: [] for algo in ceq_algo_list}
-    for snr in snr_db_list:
+    for i_snr, snr in enumerate(snr_db_list):
+        # fresh channel trajectory per SNR point: a shared seed would
+        # make every point ride the SAME fade sequence and cap the
+        # whole curve at that trajectory's outage fraction
         nr_pdsch, slots = pdsch_before_ceq_processing(
-            carrier_config, pdsch_config, chan_cfg, -snr, n_slots, seed,
-            ce_config, prof=prof)
+            carrier_config, pdsch_config, chan_cfg, -snr, n_slots,
+            seed + 7919 * i_snr, ce_config, prof=prof)
         for algo in ceq_algo_list:
             npass = ntot = 0
             nr_pdsch.rvidx = -1
-            for slot, (rx_slot, H, cov, est) in enumerate(slots):
+            for rx_slot, H, cov, est, slot in slots:
                 if H is None:
                     continue
                 with prof_.stage(f"rx_process[{algo}]", items=1,

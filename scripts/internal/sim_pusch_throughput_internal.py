@@ -38,17 +38,21 @@ def pusch_before_ceq_processing(carrier_config, pusch_config, chan_cfg,
     _, rx_fd = rx_wf.waveform_rx_processing(rx, carrier_config, fs_hz)
 
     slot_size = 14 * 12 * prb
+    from python_5gtoolbox_tpu.utils.numerology import slots_per_frame
+    spf = slots_per_frame(scs)
     per_slot = []
-    for slot in range(n_slots):
-        rx_slot = rx_fd[:, slot * slot_size: (slot + 1) * slot_size]
+    for idx in range(n_slots):
+        # TX numbers slots within the frame (waveform/ul.py) — match it
+        slot = idx % spf
+        rx_slot = rx_fd[:, idx * slot_size: (idx + 1) * slot_size]
         if (slot % pusch_config["period_in_slot"]) not in \
                 pusch_config["allocated_slots"]:
-            per_slot.append((rx_slot, None, None, None))
+            per_slot.append((rx_slot, None, None, None, slot))
             continue
         h_ls, rs_info = nr_pusch.H_LS_est(rx_slot, slot)
         est = NrChannelEstimation(h_ls, rs_info, ce_config)
         H, cov = est.channel_est()
-        per_slot.append((rx_slot, H, cov, est))
+        per_slot.append((rx_slot, H, cov, est, slot))
     return nr_pusch, per_slot
 
 
@@ -59,14 +63,15 @@ def run_pusch_throughput(carrier_config, pusch_config, chan_cfg,
     """-> dict algo -> [TB pass-rate per SNR] (+ 'tbs_bits')."""
     ldpc_config = dict(DEFAULT_LDPC_CONFIG, **(ldpc_config or {}))
     results = {algo: [] for algo in ceq_algo_list}
-    for snr in snr_db_list:
+    for i_snr, snr in enumerate(snr_db_list):
+        # fresh channel trajectory per SNR point (see PDSCH internal)
         nr_pusch, slots = pusch_before_ceq_processing(
-            carrier_config, pusch_config, chan_cfg, -snr, n_slots, seed,
-            ce_config)
+            carrier_config, pusch_config, chan_cfg, -snr, n_slots,
+            seed + 7919 * i_snr, ce_config)
         for algo in ceq_algo_list:
             npass = ntot = 0
             nr_pusch.rvidx = -1
-            for slot, (rx_slot, H, cov, est) in enumerate(slots):
+            for rx_slot, H, cov, est, slot in slots:
                 if H is None:
                     continue
                 ok, tbblk, _, _ = nr_pusch.RX_process(

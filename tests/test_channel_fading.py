@@ -120,7 +120,7 @@ def _run(chan_cfg, algos, n_slots, snr_db=20.0, seed=3):
     for algo in algos:
         pd.rvidx = -1
         npass = ntot = 0
-        for slot, (rx, H, cov, est) in enumerate(slots):
+        for rx, H, cov, est, slot in slots:
             if H is None:
                 continue
             ok, tb, _ = pd.RX_process(rx, slot, {"algo": algo}, H, cov,

@@ -234,6 +234,26 @@ def test_scl_impls_match_unrolled(impl, K, E, nmax, iil, clen, pad, rnti,
     np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
 
 
+def test_scl_chunked_matches_scan_n1024():
+    """chunked == scan at N=1024 (PUSCH UCI scale, nMax=10).
+
+    The unrolled decoder takes ~8 min to compile at N=1024, so the
+    identity anchor here is the scan impl (itself unrolled-verified at
+    N <= 512 by test_scl_impls_match_unrolled)."""
+    from python_5gtoolbox_tpu.ops.polar.construct import gen_n_value
+    K, E, nmax, iil, clen, L = 300, 1024, 10, 0, 11, 8
+    rng = np.random.default_rng(99)
+    N, _ = gen_n_value(K, E, nmax)
+    assert N == 1024
+    llr = (rng.normal(size=(4, N)) * 2).astype(np.float32)
+    a, oka = P.polar_decode_scl(jnp.asarray(llr), E, K, L, nmax, iil,
+                                clen, 0, 0, impl="scan")
+    b, okb = P.polar_decode_scl(jnp.asarray(llr), E, K, L, nmax, iil,
+                                clen, 0, 0, impl="chunked")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(oka), np.asarray(okb))
+
+
 def _scl_bler_at(rng, K, E, B, snr_db, list_size):
     """Full UL CA-polar chain (CRC11, nMax=10, iBIL=1) BLER at one SNR.
 
