@@ -160,7 +160,7 @@ def bench_ofdm_duc(profile: dict | None = None):
     return n_samp / dt / 1e6  # Msamples/s
 
 
-def bench_ldpc(schedule="flooded", n_iter_dec=32, batches=(128, 512)):
+def bench_ldpc(schedule="flooded", n_iter_dec=32, batches=(512, 2048)):
     """Best codewords/s over a batch sweep at the BLER-parity config."""
     import jax
     import jax.numpy as jnp
@@ -190,7 +190,7 @@ def bench_ldpc(schedule="flooded", n_iter_dec=32, batches=(128, 512)):
     return best, best_b
 
 
-def bench_polar_scl(B=256):
+def bench_polar_scl(B=1024):
     """CA-SCL codewords/s at PDCCH scale (N=512, L=8, chunked impl)."""
     import jax
     import jax.numpy as jnp
@@ -224,7 +224,7 @@ def main():
         "metric": "polar_scl_throughput",
         "value": round(scl_cw_s, 1),
         "unit": "codewords/s",
-        "config": "N=512 K=164 L=8 CA-SCL chunked B=256",
+        "config": "N=512 K=164 L=8 CA-SCL chunked B=1024",
     }, {
         "metric": "ldpc_decode_throughput",
         "value": round(ldpc_cw_s, 1),
