@@ -8,8 +8,10 @@ CRC24C in-loop pruning (iIL=1), final CRC-ranked path selection (iIL=0).
 
 TPU design:
   * The list dimension L is a tensor axis: state is (batch, L, ...) and
-    path fork/prune is a jax.lax.top_k over 2L candidates followed by one
-    gather of the compact per-level state.
+    path fork/prune is a jax.lax.top_k over 2L candidates followed by a
+    path permutation — a one-hot MXU matmul in the fast chunked impl
+    (TPU gathers serialize to ~1 element/cycle), take_along_axis in the
+    reference unrolled/scan impls.
   * The SC schedule is unrolled at trace time (leaf index static), so all
     f/g updates are static slices — alphas/betas live as one array per
     tree level, sized 2^level.
