@@ -17,10 +17,19 @@ TPU design:
     tree level, sized 2^level.
   * Frozen, PC and distributed-CRC bit positions become *forced* bits:
     their value is a static-XOR function of earlier decided bits, so the
-    list never forks there. This is exactly equivalent to the reference's
-    fork-then-kill (the killed child is the CRC/PC-inconsistent one and
-    the survivor carries the same path metric penalty), but keeps all L
-    slots occupied by CRC-consistent paths.
+    list never forks there. For frozen and PC bits this is exactly
+    equivalent to the reference's fork-then-kill (the killed child is
+    the inconsistent one and the survivor carries the same path-metric
+    penalty) — the iIL=0 cells of out/polar_parity.json agree with the
+    reference decision-for-decision (bit agreement 1.0). For the iIL=1
+    distributed-CRC24C positions the two designs are equivalent at the
+    ENSEMBLE level, not per-trial: forcing keeps all L slots occupied by
+    CRC-consistent paths where the reference's kill step can shrink the
+    live list, so individual trials may pick different (both
+    CRC-consistent) paths. Measured (out/polar_parity.json, DL cells):
+    codeword agreement-where-either-correct 0.977-0.994 with the
+    repo's BLER consistently equal or slightly better (e.g. 0.135 vs
+    0.155) — a strictly-larger-survivor-set effect, not a regression.
 """
 from __future__ import annotations
 

@@ -178,8 +178,21 @@ def csirs_channel_estimate(fd_slot_rx: np.ndarray, nrcsirs: NrCSIRS,
     # three groups still leaks in and biases SINR/CQI low on very
     # dispersive channels — pass noise_var explicitly to report() when
     # a receiver-side estimate is available.
-    d2 = h[2:] - 2.0 * h[1:-1] + h[:-2]
-    n_var = jnp.mean(jnp.abs(d2) ** 2) / 6 * gsz
+    ng = h.shape[0]
+    if ng >= 3:
+        d2 = h[2:] - 2.0 * h[1:-1] + h[:-2]
+        n_var = jnp.mean(jnp.abs(d2) ** 2) / 6 * gsz
+    elif ng == 2:
+        # fewer than 3 CDM groups: second differences are empty (the
+        # mean would be NaN and silently poison SINR/CQI) — fall back
+        # to the first difference (Var(d1) = 2 sigma_h^2)
+        d1 = h[1:] - h[:-1]
+        n_var = jnp.mean(jnp.abs(d1) ** 2) / 2 * gsz
+    else:
+        # single group: no blind estimate exists; use a -30 dB floor
+        # relative to the estimate power (pass noise_var explicitly to
+        # report() for a real value)
+        n_var = jnp.mean(jnp.abs(h) ** 2) * 1e-3 * gsz
     return h, prbs, n_var
 
 

@@ -20,6 +20,16 @@ from scipy import fft as sfft
 
 from python_5gtoolbox_tpu.utils.numerology import symbol_timing_offsets
 
+# Above f_m = FO_EST_FM_LIMIT_FRACTION * scs_hz the FO estimator's
+# Doppler-induced error dominates any real CFO it could correct (see
+# NrChannelEstimation.freq_offset_est contract); sims clamp FO est off.
+FO_EST_FM_LIMIT_FRACTION = 0.002
+
+
+def fo_est_valid_for_doppler(fm_hz: float, scs: int) -> bool:
+    """True if freq_offset_est's error floor is acceptable at this f_m."""
+    return fm_hz <= FO_EST_FM_LIMIT_FRACTION * scs * 1000.0
+
 
 def _polyfit_extend(x, y, x_new):
     """Linear least-squares fit of (x, y), evaluated at x_new (complex)."""
@@ -82,6 +92,22 @@ class NrChannelEstimation:
         self.H_LS *= ramp[None, :, None, None].astype(np.complex64)
 
     def freq_offset_est(self):
+        """Carrier-frequency-offset estimate from the peak tap's phase
+        rotation across DMRS symbols.
+
+        CONTRACT (valid Doppler range): the phase slope of the strongest
+        time-domain tap cannot distinguish a deterministic CFO from the
+        Doppler-induced rotation of the fading process itself, so the
+        estimate carries an irreducible error of order f_m (the max
+        Doppler frequency). Only use enable_FO_est/enable_FO_comp when
+        f_m is well below the CFO accuracy you need — measured round 3:
+        at scs30 with DMRS AddPos1, f_m = 200 Hz is already read as a
+        ~100 Hz-scale spurious CFO whose "compensation" corrupts decode.
+        For f_m > ~FO_EST_FM_LIMIT_FRACTION * scs, disable FO estimation
+        (the reference sims do the same: NR_PDSCH_throughput_example.py
+        ships with enable_FO_est False for its fading configs). The sim
+        internals clamp this automatically and print a note.
+        """
         rs_map = self.RS_info["RSSymMap"]
         if len(rs_map) == 1:
             self.FO_est = 0

@@ -162,26 +162,41 @@ def ml2(y, h, cov, modtype: str, irc: bool = False, soft: bool = True):
     cand = jnp.asarray(np.asarray(syms)[cand_idx])          # (C, nl)
     cand_bits = np.concatenate([np.asarray(bits)[cand_idx[:, l]]
                                 for l in range(nl)], axis=1)  # (C, nl*qm)
-    hs = jnp.einsum("nrl,cl->ncr", h, cand)                 # (N, C, Nr)
-    dist = jnp.sum(jnp.abs(y[:, None, :] - hs) ** 2, axis=-1)  # (N, C)
     sigma2 = jnp.mean(jnp.real(jnp.diagonal(cov, axis1=-2, axis2=-1)),
                       axis=-1)
-    lv = dist / sigma2[:, None]
-    best = jnp.argmin(lv, axis=-1)
-    s_est = cand[best]                                      # (N, nl)
-    hard = jnp.asarray(cand_bits, jnp.int8)[best]           # (N, nl*qm)
-    min_lv = jnp.take_along_axis(lv, best[:, None], axis=1)[:, 0]
-    nv = jnp.broadcast_to(min_lv[:, None], (n, nl))
-    if not soft:
-        return s_est, nv, hard, (1 - 2 * hard).astype(jnp.float32)
-    inf = jnp.asarray(np.inf, lv.dtype)
-    llrs = []
-    for i in range(nl * qm):
-        is1 = jnp.asarray(cand_bits[:, i] == 1)[None, :]
-        v1 = jnp.min(jnp.where(is1, lv, inf), axis=1)
-        v0 = jnp.min(jnp.where(is1, inf, lv), axis=1)
-        llrs.append(v1 - v0)
-    return s_est, nv, hard, jnp.stack(llrs, axis=-1)
+
+    # the (N, C, Nr) candidate tensor is the memory hot spot (256QAM
+    # 2-layer: C=65536); chunk the RE axis to a fixed ~0.5 GB budget so
+    # large-q configs degrade to more passes instead of OOM
+    n_chunk = max(1, min(n, int(2 ** 29 // max(len(cand_idx) * nr * 8, 1))))
+
+    def _body(y_c, h_c, s2_c):
+        hs = jnp.einsum("nrl,cl->ncr", h_c, cand)           # (Nc, C, Nr)
+        dist = jnp.sum(jnp.abs(y_c[:, None, :] - hs) ** 2, axis=-1)
+        lv = dist / s2_c[:, None]
+        best = jnp.argmin(lv, axis=-1)
+        s_est = cand[best]                                  # (Nc, nl)
+        hard = jnp.asarray(cand_bits, jnp.int8)[best]       # (Nc, nl*qm)
+        min_lv = jnp.take_along_axis(lv, best[:, None], axis=1)[:, 0]
+        nv = jnp.broadcast_to(min_lv[:, None], (len(best), nl))
+        if not soft:
+            return s_est, nv, hard, (1 - 2 * hard).astype(jnp.float32)
+        inf = jnp.asarray(np.inf, lv.dtype)
+        llrs = []
+        for i in range(nl * qm):
+            is1 = jnp.asarray(cand_bits[:, i] == 1)[None, :]
+            v1 = jnp.min(jnp.where(is1, lv, inf), axis=1)
+            v0 = jnp.min(jnp.where(is1, inf, lv), axis=1)
+            llrs.append(v1 - v0)
+        return s_est, nv, hard, jnp.stack(llrs, axis=-1)
+
+    if n_chunk >= n:
+        return _body(y, h, sigma2)
+    parts = [_body(y[i: i + n_chunk], h[i: i + n_chunk],
+                   sigma2[i: i + n_chunk])
+             for i in range(0, n, n_chunk)]
+    return tuple(jnp.concatenate([p[k] for p in parts], axis=0)
+                 for k in range(4))
 
 
 def _ml_finish(y, h, cov, modtype, s_est, best_lay_idx, soft):

@@ -16,7 +16,8 @@ import numpy as np
 
 from python_5gtoolbox_tpu.models import channel as chan_mod
 from python_5gtoolbox_tpu.phy.pdsch import Pdsch
-from python_5gtoolbox_tpu.rx.channel_estimate import NrChannelEstimation
+from python_5gtoolbox_tpu.rx.channel_estimate import (NrChannelEstimation,
+                                                      fo_est_valid_for_doppler)
 from python_5gtoolbox_tpu.utils.numerology import (carrier_prb_size,
                                                    fft_size, slots_per_frame)
 from python_5gtoolbox_tpu.waveform import dl as dl_wf
@@ -47,6 +48,17 @@ def pdsch_before_ceq_processing(carrier_config, pdsch_config, chan_cfg,
     prof = prof or _NullProfiler()
     ce_config = dict(DEFAULT_CE_CONFIG, **(ce_config or {}))
     scs, bw = carrier_config["scs"], carrier_config["BW"]
+    fm = float(chan_cfg.get("fm_inHz", 0) or 0)
+    if ce_config.get("enable_FO_est") and not fo_est_valid_for_doppler(
+            fm, scs):
+        # freq_offset_est contract (rx/channel_estimate.py): above this
+        # Doppler the estimator reads fading rotation as CFO and its
+        # "compensation" corrupts decode — clamp it off like the
+        # reference sims do
+        print(f"[sim] fm={fm:.0f} Hz exceeds the FO-estimator's valid "
+              f"range at scs{scs}; disabling FO est/comp")
+        ce_config["enable_FO_est"] = False
+        ce_config["enable_FO_comp"] = False
     prb = carrier_prb_size(scs, bw)
     nfft = fft_size(prb)
     fs_hz = carrier_config["samplerate_in_mhz"] * 1e6 \
@@ -75,9 +87,9 @@ def pdsch_before_ceq_processing(carrier_config, pdsch_config, chan_cfg,
     per_slot = []
     for idx in range(n_slots):
         # the TX side numbers slots WITHIN the frame (waveform/dl.py:
-        # slot = idx % slots_per_frame) — the RX must use the same
-        # number or every DMRS c_init is wrong from the second frame on
-        slot = idx % spf
+        # slot = (startslot + idx) % slots_per_frame) — the RX must use
+        # the same number or every DMRS c_init is wrong from frame 2 on
+        slot = (waveform_config["startslot"] + idx) % spf
         rx_slot = rx_fd[:, idx * slot_size: (idx + 1) * slot_size]
         if (slot % pdsch_config["period_in_slot"]) not in \
                 pdsch_config["allocated_slots"]:

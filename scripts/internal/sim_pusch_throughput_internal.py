@@ -9,8 +9,10 @@ import numpy as np
 
 from python_5gtoolbox_tpu.models import channel as chan_mod
 from python_5gtoolbox_tpu.phy.pusch import NrPUSCH
-from python_5gtoolbox_tpu.rx.channel_estimate import NrChannelEstimation
-from python_5gtoolbox_tpu.utils.numerology import carrier_prb_size, fft_size
+from python_5gtoolbox_tpu.rx.channel_estimate import (NrChannelEstimation,
+                                                      fo_est_valid_for_doppler)
+from python_5gtoolbox_tpu.utils.numerology import (carrier_prb_size,
+                                                   fft_size, slots_per_frame)
 from python_5gtoolbox_tpu.waveform import rx as rx_wf
 from python_5gtoolbox_tpu.waveform import ul as ul_wf
 
@@ -23,6 +25,14 @@ def pusch_before_ceq_processing(carrier_config, pusch_config, chan_cfg,
                                 ce_config=None):
     ce_config = dict(DEFAULT_CE_CONFIG, **(ce_config or {}))
     scs, bw = carrier_config["scs"], carrier_config["BW"]
+    fm = float(chan_cfg.get("fm_inHz", 0) or 0)
+    if ce_config.get("enable_FO_est") and not fo_est_valid_for_doppler(
+            fm, scs):
+        # see rx/channel_estimate.py freq_offset_est contract
+        print(f"[sim] fm={fm:.0f} Hz exceeds the FO-estimator's valid "
+              f"range at scs{scs}; disabling FO est/comp")
+        ce_config["enable_FO_est"] = False
+        ce_config["enable_FO_comp"] = False
     prb = carrier_prb_size(scs, bw)
     nfft = fft_size(prb)
     fs_hz = nfft * scs * 1000.0
@@ -38,12 +48,12 @@ def pusch_before_ceq_processing(carrier_config, pusch_config, chan_cfg,
     _, rx_fd = rx_wf.waveform_rx_processing(rx, carrier_config, fs_hz)
 
     slot_size = 14 * 12 * prb
-    from python_5gtoolbox_tpu.utils.numerology import slots_per_frame
     spf = slots_per_frame(scs)
     per_slot = []
     for idx in range(n_slots):
-        # TX numbers slots within the frame (waveform/ul.py) — match it
-        slot = idx % spf
+        # TX numbers slots as (startslot + idx) % spf (waveform/ul.py) —
+        # derive the RX wrap from the SAME startslot so they cannot drift
+        slot = (waveform_config["startslot"] + idx) % spf
         rx_slot = rx_fd[:, idx * slot_size: (idx + 1) * slot_size]
         if (slot % pusch_config["period_in_slot"]) not in \
                 pusch_config["allocated_slots"]:
