@@ -20,14 +20,22 @@ Complex boundary: axon cannot transfer complex buffers host<->device
 OFDM input goes up via utils.host.to_device (float32 planes fused
 on-device) and every fetched value is float32.
 
-Throughput floor (measured r3): this chip's MXU sustains ~15-16
-TFLOP/s on these GEMM shapes at ANY precision (bf16 DEFAULT is no
-faster than HIGH), and its XLA FFT does the bench's 63 MB IFFT batch
-in ~1.7 ms. The OFDM+DUC chain's ~48 GFLOP of banded-Toeplitz matmul
-plus the FFT therefore floors near ~4.5-5.5 ms per 15.7 M samples —
-the current number sits at that floor; a radix-64 MXU IFFT was
-measured SLOWER (2.2 ms) than the XLA FFT, and a Pallas rewrite
-cannot exceed the MXU unit rate.
+Throughput floor (revised r4, trace-backed — out/duc_trace_r04.json is
+a per-op device-time table from a jax.profiler trace of 8 warm chain
+steps): the chain is DATA-MOVEMENT-limited, not FLOP-limited. The
+round-3 "48 GFLOP GEMM floor" dissolved once the FIR+HB moved into one
+Pallas kernel (ops/pallas_filters.py): the kernel itself is 0.78 ms of
+the ~3.3 ms device step; the rest is the factored XLA IFFT (~0.7 ms),
+the CP-insert concat pass (~0.4 ms), complex<->planar boundary fusions
+(~0.3 ms), one residual XLA relayout copy (~0.4 ms), and ~0.6 ms fixed
+axon per-dispatch latency. Alternatives measured and rejected this
+round: FFT-domain overlap-save FIR = 5.2-6.6 ms for the FIR stage
+alone vs 1.59 ms for the Pallas kernel (XLA's TPU FFT runs far below
+MXU rate, so the ~8x FLOP reduction loses 3-4x in wall clock);
+lower-MAC XLA GEMM formulations (small-L banded, one-GEMM im2col) all
+ran SLOWER than the L=512 D=2 shifted-GEMM because this chip's
+effective GEMM rate collapses at small tiles; radix-64 MXU IFFT was
+already slower (2.2 ms) than the XLA FFT in r3.
 
 vs_baseline for LDPC is measured against the reference decoder
 (py5gphy/ldpc/nr_ldpc_decode.py:11) on this machine's CPU at the same
@@ -104,16 +112,18 @@ def bench_ofdm_duc(profile: dict | None = None):
     n_slots, nant = 64, 2  # 32 ms of carrier; large batch amortizes launch
     prb = num.carrier_prb_size(scs, bw)
     rng = np.random.default_rng(0)
-    fd = (rng.normal(size=(n_slots, nant, 14, 12 * prb))
-          + 1j * rng.normal(size=(n_slots, nant, 14, 12 * prb))
+    # antenna-major layout: td (ant, slots, T) -> (ant, slots*T) is a
+    # free reshape; slot-major would insert a 63 MB HBM transpose
+    # (~0.4 ms) between the OFDM and filter stages
+    fd = (rng.normal(size=(nant, n_slots, 14, 12 * prb))
+          + 1j * rng.normal(size=(nant, n_slots, 14, 12 * prb))
           ).astype(np.complex64)
 
     @jax.jit
     def step(fd_slots, c):
-        td = ofdm.tx_low_phy(fd_slots * (1.0 + c), scs, bw, int(3500e6))
-        flat = jnp.swapaxes(td, 0, 1).reshape(td.shape[1], -1)
-        out = filters.tx_channel_filter(flat, scs, bw, 245.76e6)
-        return jnp.abs(out[0, -1])
+        out = filters.tx_lowphy_duc(fd_slots * (1.0 + c), scs, bw,
+                                    int(3500e6), 245.76e6, as_planes=True)
+        return jnp.abs(jax.lax.complex(out[0, -1], out[nant, -1]))
 
     from python_5gtoolbox_tpu.utils.host import to_device
 
@@ -123,16 +133,46 @@ def bench_ofdm_duc(profile: dict | None = None):
     dt = _chain_time(step, fdj)
 
     if profile is not None:
+        # on-chip IQ parity spot-check (ADVICE r3: CPU golden tests
+        # can't see TPU matmul-precision lowering): run the Pallas
+        # bf16x3 filter pair on the chip against an f64 host upfirdn
+        from scipy.signal import upfirdn
+        tpar = 65536 * 2
+        xs = (rng.normal(size=(1, tpar))
+              + 1j * rng.normal(size=(1, tpar))).astype(np.complex64)
+        fir_taps = filters.fir_coeff(scs, bw)
+        hb_taps = filters.halfband_coeff()
+
+        @jax.jit
+        def fstep(v):
+            return filters.hb_upsample2(filters.fir_same(v, fir_taps),
+                                        hb_taps)
+
+        yj = fstep(to_device(xs))
+        y_chip = (np.asarray(jax.device_get(jnp.real(yj)))
+                  + 1j * np.asarray(jax.device_get(jnp.imag(yj))))
+        n1, n2 = len(fir_taps), len(hb_taps)
+        yf = upfirdn(fir_taps, xs[0].astype(np.complex128)
+                     )[n1 // 2: n1 // 2 + tpar]
+        yref = upfirdn(hb_taps, yf, up=2)[n2 // 2 - 1:
+                                          n2 // 2 - 1 + 2 * tpar] \
+            * np.sqrt(2)
+        parity_err = float(np.abs(y_chip[0] - yref).max())
+        profile["onchip_filter_parity"] = {
+            "max_abs_err_vs_f64_upfirdn": parity_err,
+            "golden_tolerance": 2e-4,
+            "ok": parity_err < 2e-4,
+        }
+
         # per-stage breakdown (VERDICT r2 item 10): time each pipeline
         # stage in isolation with the same chained methodology
         @jax.jit
         def step_ofdm(x, c):
-            td = ofdm.tx_low_phy(x * (1.0 + c), scs, bw, int(3500e6))
+            td = ofdm.tx_low_phy(x * (1.0 + c), scs, bw, int(3500e6), roll_ant=False)
             return jnp.abs(td[0, 0, -1])
 
-        td = ofdm.tx_low_phy(fdj, scs, bw, int(3500e6))
-        flat = jax.device_put(
-            jnp.swapaxes(td, 0, 1).reshape(td.shape[1], -1))
+        td = ofdm.tx_low_phy(fdj, scs, bw, int(3500e6), roll_ant=False)
+        flat = jax.device_put(td.reshape(td.shape[0], -1))
 
         @jax.jit
         def step_fir(x, c):
@@ -144,17 +184,30 @@ def bench_ofdm_duc(profile: dict | None = None):
             y = filters.hb_upsample2(x * (1.0 + c))
             return jnp.abs(y[0, -1])
 
+        from python_5gtoolbox_tpu.ops.pallas_filters import fir_up2_fused
+
+        @jax.jit
+        def step_fused(x, c):
+            y = fir_up2_fused(x * (1.0 + c), filters.fir_coeff(scs, bw),
+                              filters.halfband_coeff())
+            return jnp.abs(jnp.real(y[0, -1]))
+
         t_o = _chain_time(step_ofdm, fdj)
         t_f = _chain_time(step_fir, flat)
         t_h = _chain_time(step_hb, flat)
+        t_u = _chain_time(step_fused, flat)
         profile["ofdm_duc"] = {
             "full_chain_ms": round(dt * 1e3, 3),
             "stages_ms": {"ofdm_ifft_cp": round(t_o * 1e3, 3),
-                          "fir_same_287tap": round(t_f * 1e3, 3),
-                          "hb_upsample2": round(t_h * 1e3, 3)},
+                          "fir_same_287tap_pallas": round(t_f * 1e3, 3),
+                          "hb_upsample2_pallas": round(t_h * 1e3, 3),
+                          "fir_hb_fused_pallas": round(t_u * 1e3, 3)},
             "note": "stage times measured in isolation each include "
-                    "~0.6 ms chain-sync overhead; the full chain "
-                    "overlaps/fuses stages so stage sums exceed it",
+                    "~0.6 ms chain-sync overhead; the full chain uses "
+                    "the FUSED fir+hb kernel and the planar OFDM "
+                    "output pass (ops/filters.py tx_lowphy_duc); see "
+                    "out/duc_trace_r04.json for the per-op device "
+                    "attribution without the sync smear",
             "config": f"scs{scs} bw{bw} slots{n_slots} ant{nant}",
         }
     return n_samp / dt / 1e6  # Msamples/s
@@ -249,7 +302,7 @@ def main():
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "out")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "profile_r03.json"), "w") as f:
+    with open(os.path.join(out_dir, "profile_r04.json"), "w") as f:
         json.dump(profile, f, indent=1)
 
     print(json.dumps({

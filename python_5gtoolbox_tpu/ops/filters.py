@@ -95,6 +95,27 @@ def _conv1d(x: jnp.ndarray, taps: np.ndarray, pad: tuple[int, int],
 
 _BLOCK_L = 512          # output samples per frame ("same"/up2 input L)
 _MIN_BLOCKED_T = 4096   # below this, direct conv wins (no gather/pad cost)
+_MIN_PALLAS_T = 65536   # below this the Pallas kernel's 512-frame grid
+                        # block is mostly padding; XLA blocked path wins
+
+
+def _use_pallas(t: int) -> bool:
+    """Pallas banded-conv kernel: real TPU + large inputs only.
+
+    Measured on v5e (round 4): the Pallas kernel (ops/pallas_filters.py,
+    K=roundup(Lf+n-1,128) per 128-sample output frame, manual bf16x3)
+    runs the 287-tap FIR in ~0.94 ms net vs ~1.5 ms for the XLA
+    D-shifted GEMM, and the 55-tap halfband up2 in ~1.3 ms vs ~1.9.
+    """
+    import os
+    if os.environ.get("PY5G_NO_PALLAS") == "1":
+        return False
+    if t < _MIN_PALLAS_T:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def _taps_at(taps: np.ndarray, idx: np.ndarray) -> np.ndarray:
@@ -196,6 +217,9 @@ def _blocked_conv(x: jnp.ndarray, taps: np.ndarray, mode: str,
 def fir_same(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
     """upfirdn(h, x)[h//2 : h//2+len] == centered 'same' convolution."""
     n = len(taps)
+    if _use_pallas(x.shape[-1]):
+        from python_5gtoolbox_tpu.ops.pallas_filters import banded_conv
+        return banded_conv(x, taps, "same")
     if x.shape[-1] >= _MIN_BLOCKED_T:
         return _blocked_conv(x, taps, "same")
     return _conv1d(x, taps, (n // 2, n - 1 - n // 2))
@@ -209,6 +233,9 @@ def hb_upsample2(x: jnp.ndarray, taps: np.ndarray | None = None) -> jnp.ndarray:
     if taps is None:
         taps = halfband_coeff()
     n = len(taps)
+    if _use_pallas(x.shape[-1]):
+        from python_5gtoolbox_tpu.ops.pallas_filters import banded_conv
+        return banded_conv(x, taps, "up2")
     if x.shape[-1] >= _MIN_BLOCKED_T:
         return _blocked_conv(x, taps, "up2")
     off = n // 2 - 1
@@ -228,6 +255,9 @@ def hb_downsample2(x: jnp.ndarray, taps: np.ndarray | None = None) -> jnp.ndarra
     if taps is None:
         taps = halfband_coeff()
     n = len(taps)
+    if x.shape[-1] % 2 == 0 and _use_pallas(x.shape[-1]):
+        from python_5gtoolbox_tpu.ops.pallas_filters import banded_conv
+        return banded_conv(x, taps, "down2")
     if x.shape[-1] >= _MIN_BLOCKED_T and x.shape[-1] % 2 == 0:
         return _blocked_conv(x, taps, "down2")
     shift = 2 * ((n + 1) // 4)
@@ -251,6 +281,55 @@ def rx_channel_filter(rx: jnp.ndarray, scs: int, bw: int,
     return fir_same(y, fir_coeff(scs, bw))
 
 
+@functools.partial(jax.jit, static_argnames=("scs", "bw",
+                                             "carrier_freq_hz",
+                                             "out_rate_hz", "as_planes"))
+def tx_lowphy_duc(fd_ant_major: jnp.ndarray, scs: int, bw: int,
+                  carrier_freq_hz: int = 0,
+                  out_rate_hz: float = 245.76e6,
+                  as_planes: bool = False) -> jnp.ndarray:
+    """Full TX low-PHY + DUC: (ant, slots, 14, n_sc) frequency grids ->
+    (ant, oversample * slots * slot_samples) waveform.
+
+    Applies NO antenna ifftshift roll (pre-roll fd for reference
+    parity; see ofdm.tx_low_phy roll_ant). On TPU the whole chain runs
+    planar: the OFDM output pass fuses phase-comp + CP concat +
+    complex->planar + the fused-DUC halo padding, and the FIR+first-HB
+    run as one Pallas kernel — on this bandwidth-limited chip that
+    removes three full-waveform HBM passes vs composing tx_low_phy and
+    tx_channel_filter. as_planes=True returns (2*ant, T) f32 planes
+    (real planes first) and skips the final planar->complex relayout.
+    """
+    from python_5gtoolbox_tpu.ops import ofdm
+
+    nant, n_slots = fd_ant_major.shape[0], fd_ant_major.shape[1]
+    prb = num.carrier_prb_size(scs, bw)
+    fs_in = num.fft_size(prb) * scs * 1000
+    oversample = int(round(out_rate_hz / fs_in))
+    assert 2 ** int(np.log2(oversample)) == oversample
+    n_hb = int(np.log2(oversample))
+    t = n_slots * ofdm.slot_sample_count(scs, bw)
+    if n_hb >= 1 and _use_pallas(t):
+        from python_5gtoolbox_tpu.ops import pallas_filters as pf
+        pad = pf.fused_pad_spec(t)
+        planes = ofdm.tx_low_phy_planes(fd_ant_major, scs, bw,
+                                        carrier_freq_hz, pad=pad)
+        y = pf.fir_up2_fused_planes(planes, fir_coeff(scs, bw),
+                                    halfband_coeff(), t)
+        for _ in range(n_hb - 1):
+            y = pf.banded_conv_planes(y, halfband_coeff(), "up2")
+        if as_planes:
+            return y
+        return jax.lax.complex(y[:nant], y[nant:]).astype(jnp.complex64)
+    td = ofdm.tx_low_phy(fd_ant_major, scs, bw, carrier_freq_hz,
+                         roll_ant=False)
+    out = tx_channel_filter(td.reshape(nant, -1), scs, bw, out_rate_hz)
+    if as_planes:
+        return jnp.concatenate([jnp.real(out), jnp.imag(out)]
+                               ).astype(jnp.float32)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("scs", "bw", "out_rate_hz"))
 def tx_channel_filter(td: jnp.ndarray, scs: int, bw: int,
                       out_rate_hz: float = 245.76e6) -> jnp.ndarray:
@@ -259,7 +338,15 @@ def tx_channel_filter(td: jnp.ndarray, scs: int, bw: int,
     fs_in = num.fft_size(prb) * scs * 1000
     oversample = int(round(out_rate_hz / fs_in))
     assert 2 ** int(np.log2(oversample)) == oversample
-    y = fir_same(td, fir_coeff(scs, bw))
-    for _ in range(int(np.log2(oversample))):
+    n_hb = int(np.log2(oversample))
+    if n_hb >= 1 and _use_pallas(td.shape[-1]):
+        # FIR + first halfband fused in one Pallas pass (the 1x-rate
+        # intermediate never touches HBM)
+        from python_5gtoolbox_tpu.ops.pallas_filters import fir_up2_fused
+        y = fir_up2_fused(td, fir_coeff(scs, bw), halfband_coeff())
+        n_hb -= 1
+    else:
+        y = fir_same(td, fir_coeff(scs, bw))
+    for _ in range(n_hb):
         y = hb_upsample2(y)
     return y

@@ -51,10 +51,12 @@ def slot_sample_count(scs: int, bw: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("scs", "bw",
-                                             "carrier_freq_hz", "nfft"))
+                                             "carrier_freq_hz", "nfft",
+                                             "roll_ant"))
 def tx_low_phy(fd_slots: jnp.ndarray, scs: int, bw: int,
                carrier_freq_hz: int = 0, dm: jnp.ndarray | None = None,
-               nfft: int | None = None) -> jnp.ndarray:
+               nfft: int | None = None, roll_ant: bool = True
+               ) -> jnp.ndarray:
     """(..., ant, 14, n_sc) frequency grid -> (..., ant, slot_samples).
 
     dm: optional (..., 14) per-symbol fractional timing error (seconds)
@@ -82,8 +84,11 @@ def tx_low_phy(fd_slots: jnp.ndarray, scs: int, bw: int,
     # buffer (tx_lowphy_process.py:63), which also rolls the ANTENNA
     # axis by nant//2 — a pure antenna permutation that its Rx side
     # undoes. Replicated for waveform-level parity.
+    # (roll_ant=False lets antenna-major batched callers skip it — axis
+    # -3 is then NOT the antenna axis — and apply the equivalent input
+    # permutation themselves)
     nant = spec.shape[-3]
-    if nant > 1:
+    if roll_ant and nant > 1:
         spec = jnp.roll(spec, -(nant // 2), axis=-3)
     # ifftshift (circular shift by nfft/2) folded into the output as a
     # (-1)^m sign: ifft(roll(X, -N/2))[m] == ifft(X)[m] * (-1)^m for
@@ -108,6 +113,59 @@ def tx_low_phy(fd_slots: jnp.ndarray, scs: int, bw: int,
     out = jnp.concatenate([p.reshape(p.shape[:-2] + (-1,)) for p in parts],
                           axis=-1)
     return out.astype(jnp.complex64)
+
+
+@functools.partial(jax.jit, static_argnames=("scs", "bw",
+                                             "carrier_freq_hz", "nfft",
+                                             "pad"))
+def tx_low_phy_planes(fd_slots: jnp.ndarray, scs: int, bw: int,
+                      carrier_freq_hz: int = 0,
+                      nfft: int | None = None,
+                      pad: tuple[int, int] = (0, 0)) -> jnp.ndarray:
+    """Antenna-major planar tx_low_phy: (ant, slots, 14, n_sc) complex
+    -> (2*ant, pad[0] + slots*slot_samples + pad[1]) float32 planes
+    (real planes first).
+
+    Same math as tx_low_phy(roll_ant=False) but the per-symbol
+    sign/phase-comp multiply, the CP-insert concat, the complex->planar
+    relayout and the caller's zero-padding all fuse into the single
+    output-concat pass — on a bandwidth-limited chip each avoided 63 MB
+    pass is ~0.2 ms (the c64 waveform pipeline otherwise spends more
+    time in copies than in the FFT itself). Callers that need the
+    reference's ifftshift antenna roll apply it to fd_slots beforehand.
+    """
+    n_sc = fd_slots.shape[-1]
+    if nfft is None:
+        nfft = num.fft_size(num.carrier_prb_size(scs, bw))
+    x = fd_slots.astype(jnp.complex64)
+    lo = (nfft - n_sc) // 2
+    spec = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(lo, nfft - n_sc - lo)])
+    td = jnp.fft.ifft(spec, axis=-1)
+    sign = np.ones(nfft, np.float32)
+    sign[1::2] = -1.0
+    sp = (sign * np.sqrt(nfft)).astype(np.complex64) \
+        * np.asarray(_phase_comp(scs, nfft, carrier_freq_hz))[:, None]
+    re = jnp.real(td) * jnp.asarray(sp.real) \
+        - jnp.imag(td) * jnp.asarray(sp.imag)
+    im = jnp.real(td) * jnp.asarray(sp.imag) \
+        + jnp.imag(td) * jnp.asarray(sp.real)
+    nant = fd_slots.shape[0]
+    n_slots = fd_slots.shape[1]
+    cps = _cp_table(scs, nfft)
+
+    def cp_concat(plane):
+        parts = []
+        for m in range(14):
+            sym = jax.lax.slice_in_dim(plane, m, m + 1, axis=-2)
+            parts.append(jax.lax.slice_in_dim(
+                sym, nfft - int(cps[m]), nfft, axis=-1))
+            parts.append(sym)
+        flat = jnp.concatenate(
+            [p.reshape(p.shape[:-2] + (-1,)) for p in parts], axis=-1)
+        flat = flat.reshape(nant, -1)          # (ant, slots*slot_samples)
+        return jnp.pad(flat, ((0, 0), pad))
+
+    return jnp.concatenate([cp_concat(re), cp_concat(im)], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("scs", "bw",
