@@ -270,6 +270,7 @@ def _attach_rx_methods():
 
     Pdsch.H_LS_est = pdsch_rx.PdschRxMixin.H_LS_est
     Pdsch.RX_process = pdsch_rx.PdschRxMixin.RX_process
+    Pdsch.rx_process_batch = pdsch_rx.PdschRxMixin.rx_process_batch
 
 
 def get_dmrs_symlist(ld: int, add_pos: int) -> list[int]:

@@ -38,12 +38,15 @@ class _NullProfiler:
 
 def pdsch_before_ceq_processing(carrier_config, pdsch_config, chan_cfg,
                                 pnoise_db, n_slots=2, seed=0,
-                                ce_config=None, prof=None):
+                                ce_config=None, prof=None, do_ce=True):
     """TX + channel + Rx low-PHY + channel estimation for each slot.
 
     Returns (nrPdsch, per-slot list of (rx_fd_slot, H_result, cov_m, est)).
     prof: optional utils.profiling.StageProfiler accumulating per-stage
     wall time (tx_waveform / channel / rx_lowphy / channel_est).
+    do_ce=False skips the per-slot NumPy channel estimation (the batched
+    RX runs its own jitted CE on device; see rx/ce_jax.py) — allocated
+    slots then carry H_result=None like gated ones.
     """
     prof = prof or _NullProfiler()
     ce_config = dict(DEFAULT_CE_CONFIG, **(ce_config or {}))
@@ -91,7 +94,7 @@ def pdsch_before_ceq_processing(carrier_config, pdsch_config, chan_cfg,
         # the same number or every DMRS c_init is wrong from frame 2 on
         slot = (waveform_config["startslot"] + idx) % spf
         rx_slot = rx_fd[:, idx * slot_size: (idx + 1) * slot_size]
-        if (slot % pdsch_config["period_in_slot"]) not in \
+        if not do_ce or (slot % pdsch_config["period_in_slot"]) not in \
                 pdsch_config["allocated_slots"]:
             per_slot.append((rx_slot, None, None, None, slot))
             continue
@@ -107,9 +110,23 @@ def pdsch_before_ceq_processing(carrier_config, pdsch_config, chan_cfg,
 def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
                          snr_db_list, ceq_algo_list, n_slots=2,
                          ce_config=None, ldpc_config=None, seed=0,
-                         prof=None):
-    """-> dict algo -> [TB pass-rate per SNR] (+ 'tbs_bits')."""
+                         prof=None, use_batch=True):
+    """-> dict algo -> [TB pass-rate per SNR] (+ 'tbs_bits').
+
+    use_batch=True (default) runs the whole RX — CE included — as ONE
+    jitted dispatch per (SNR, algo) via Pdsch.rx_process_batch; False
+    keeps the reference-shaped per-slot loop (NumPy CE + per-slot
+    RX_process), the path retransmission/HARQ studies need.
+    """
     ldpc_config = dict(DEFAULT_LDPC_CONFIG, **(ldpc_config or {}))
+    ce_cfg_full = dict(DEFAULT_CE_CONFIG, **(ce_config or {}))
+    fm = float(chan_cfg.get("fm_inHz", 0) or 0)
+    if ce_cfg_full.get("enable_FO_est") and not fo_est_valid_for_doppler(
+            fm, carrier_config["scs"]):
+        # same clamp pdsch_before_ceq_processing applies (FO-estimator
+        # Doppler contract, rx/channel_estimate.py)
+        ce_cfg_full["enable_FO_est"] = False
+        ce_cfg_full["enable_FO_comp"] = False
     prof_ = prof or _NullProfiler()
     results = {algo: [] for algo in ceq_algo_list}
     for i_snr, snr in enumerate(snr_db_list):
@@ -118,20 +135,35 @@ def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
         # whole curve at that trajectory's outage fraction
         nr_pdsch, slots = pdsch_before_ceq_processing(
             carrier_config, pdsch_config, chan_cfg, -snr, n_slots,
-            seed + 7919 * i_snr, ce_config, prof=prof)
+            seed + 7919 * i_snr, ce_config, prof=prof,
+            do_ce=not use_batch)
+        if use_batch:
+            alloc = [(rx_slot, slot) for rx_slot, _, _, _, slot in slots
+                     if (slot % pdsch_config["period_in_slot"])
+                     in pdsch_config["allocated_slots"]]
+            rx_stack = np.stack([a[0] for a in alloc])
+            slot_nums = [a[1] for a in alloc]
         for algo in ceq_algo_list:
             npass = ntot = 0
             nr_pdsch.rvidx = -1
-            for rx_slot, H, cov, est, slot in slots:
-                if H is None:
-                    continue
-                with prof_.stage(f"rx_process[{algo}]", items=1,
+            if use_batch:
+                with prof_.stage(f"rx_batch[{algo}]", items=len(alloc),
                                  unit="slots"):
-                    ok, tbblk, _ = nr_pdsch.RX_process(
-                        rx_slot, slot, {"algo": algo}, H, cov,
-                        ldpc_config, est)
-                npass += int(ok)
-                ntot += 1
+                    ok, _ = nr_pdsch.rx_process_batch(
+                        rx_stack, slot_nums, {"algo": algo},
+                        ldpc_config, ce_cfg_full)
+                npass, ntot = int(np.sum(ok)), len(alloc)
+            else:
+                for rx_slot, H, cov, est, slot in slots:
+                    if H is None:
+                        continue
+                    with prof_.stage(f"rx_process[{algo}]", items=1,
+                                     unit="slots"):
+                        ok, tbblk, _ = nr_pdsch.RX_process(
+                            rx_slot, slot, {"algo": algo}, H, cov,
+                            ldpc_config, est)
+                    npass += int(ok)
+                    ntot += 1
             results[algo].append(npass / max(ntot, 1))
             print(f"PDSCH snr={snr:+.1f}dB {algo}: "
                   f"{npass}/{ntot} TB passed")

@@ -20,9 +20,19 @@ from scripts.internal.sim_pdsch_throughput_internal import (
     DEFAULT_CE_CONFIG, DEFAULT_LDPC_CONFIG)
 
 
+def can_batch_pusch_rx(pusch_config: dict) -> bool:
+    """True when the slot-batched ULSCH RX covers this config (CP-OFDM,
+    ULSCH only, no UCI multiplexing; see PuschRxMixin.rx_process_batch)."""
+    cfg = pusch_config
+    return (cfg["nTransPrecode"] == 0 and cfg["EnableULSCH"] == 1
+            and not (cfg["EnableACK"] * cfg["NumACKBits"]
+                     or cfg["EnableCSI1"] * cfg["NumCSI1Bits"]
+                     or cfg["EnableCSI2"] * cfg["NumCSI2Bits"]))
+
+
 def pusch_before_ceq_processing(carrier_config, pusch_config, chan_cfg,
                                 pnoise_db, n_slots=2, seed=0,
-                                ce_config=None):
+                                ce_config=None, do_ce=True):
     ce_config = dict(DEFAULT_CE_CONFIG, **(ce_config or {}))
     scs, bw = carrier_config["scs"], carrier_config["BW"]
     fm = float(chan_cfg.get("fm_inHz", 0) or 0)
@@ -55,7 +65,7 @@ def pusch_before_ceq_processing(carrier_config, pusch_config, chan_cfg,
         # derive the RX wrap from the SAME startslot so they cannot drift
         slot = (waveform_config["startslot"] + idx) % spf
         rx_slot = rx_fd[:, idx * slot_size: (idx + 1) * slot_size]
-        if (slot % pusch_config["period_in_slot"]) not in \
+        if not do_ce or (slot % pusch_config["period_in_slot"]) not in \
                 pusch_config["allocated_slots"]:
             per_slot.append((rx_slot, None, None, None, slot))
             continue
@@ -69,26 +79,52 @@ def pusch_before_ceq_processing(carrier_config, pusch_config, chan_cfg,
 def run_pusch_throughput(carrier_config, pusch_config, chan_cfg,
                          snr_db_list, ceq_algo_list, n_slots=2,
                          ce_config=None, ldpc_config=None, seed=0,
-                         decode_uci=False):
-    """-> dict algo -> [TB pass-rate per SNR] (+ 'tbs_bits')."""
+                         decode_uci=False, use_batch=None):
+    """-> dict algo -> [TB pass-rate per SNR] (+ 'tbs_bits').
+
+    use_batch None (default) auto-selects the slot-batched one-dispatch
+    RX when the config supports it (can_batch_pusch_rx) and no UCI
+    decode was requested; the per-slot path remains for transform
+    precoding / UCI / HARQ studies.
+    """
     ldpc_config = dict(DEFAULT_LDPC_CONFIG, **(ldpc_config or {}))
+    ce_cfg_full = dict(DEFAULT_CE_CONFIG, **(ce_config or {}))
+    fm = float(chan_cfg.get("fm_inHz", 0) or 0)
+    if ce_cfg_full.get("enable_FO_est") and not fo_est_valid_for_doppler(
+            fm, carrier_config["scs"]):
+        ce_cfg_full["enable_FO_est"] = False
+        ce_cfg_full["enable_FO_comp"] = False
+    if use_batch is None:
+        use_batch = can_batch_pusch_rx(pusch_config) and not decode_uci
     results = {algo: [] for algo in ceq_algo_list}
     for i_snr, snr in enumerate(snr_db_list):
         # fresh channel trajectory per SNR point (see PDSCH internal)
         nr_pusch, slots = pusch_before_ceq_processing(
             carrier_config, pusch_config, chan_cfg, -snr, n_slots,
-            seed + 7919 * i_snr, ce_config)
+            seed + 7919 * i_snr, ce_config, do_ce=not use_batch)
+        if use_batch:
+            alloc = [(rx_slot, slot) for rx_slot, _, _, _, slot in slots
+                     if (slot % pusch_config["period_in_slot"])
+                     in pusch_config["allocated_slots"]]
+            rx_stack = np.stack([a[0] for a in alloc])
+            slot_nums = [a[1] for a in alloc]
         for algo in ceq_algo_list:
             npass = ntot = 0
             nr_pusch.rvidx = -1
-            for rx_slot, H, cov, est, slot in slots:
-                if H is None:
-                    continue
-                ok, tbblk, _, _ = nr_pusch.RX_process(
-                    rx_slot, slot, {"algo": algo}, H, cov, ldpc_config, est,
-                    decode_uci=decode_uci)
-                npass += int(ok)
-                ntot += 1
+            if use_batch:
+                ok, _ = nr_pusch.rx_process_batch(
+                    rx_stack, slot_nums, {"algo": algo}, ldpc_config,
+                    ce_cfg_full)
+                npass, ntot = int(np.sum(ok)), len(alloc)
+            else:
+                for rx_slot, H, cov, est, slot in slots:
+                    if H is None:
+                        continue
+                    ok, tbblk, _, _ = nr_pusch.RX_process(
+                        rx_slot, slot, {"algo": algo}, H, cov,
+                        ldpc_config, est, decode_uci=decode_uci)
+                    npass += int(ok)
+                    ntot += 1
             results[algo].append(npass / max(ntot, 1))
             print(f"PUSCH snr={snr:+.1f}dB {algo}: "
                   f"{npass}/{ntot} TB passed")
