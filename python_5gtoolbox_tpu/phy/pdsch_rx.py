@@ -350,7 +350,8 @@ class PdschRxMixin:
         from python_5gtoolbox_tpu.utils.host import to_device
 
         cfg = self.cfg
-        rx_fd_slots = np.asarray(rx_fd_slots)
+        if not isinstance(rx_fd_slots, jax.Array):
+            rx_fd_slots = np.asarray(rx_fd_slots)
         s = rx_fd_slots.shape[0]
         ce_key = tuple(sorted(
             (k, v) for k, v in dict(ce_config).items()
@@ -381,10 +382,16 @@ class PdschRxMixin:
         cinit = cfg["rnti"] * (2 ** 15) + cfg["nID"]
         scr_sign = (1.0 - 2.0 * gen_prbs_np(cinit, G)).astype(np.float32)
 
-        rx_planes = np.stack([rx_fd_slots.real, rx_fd_slots.imag]
-                             ).astype(np.float32)
+        if isinstance(rx_fd_slots, jax.Array):
+            # device-resident input: never round-trip through the host
+            rx_planes = jnp.stack([jnp.real(rx_fd_slots),
+                                   jnp.imag(rx_fd_slots)]
+                                  ).astype(jnp.float32)
+        else:
+            rx_planes = to_device(np.stack(
+                [rx_fd_slots.real, rx_fd_slots.imag]).astype(np.float32))
         dmrs_planes = np.stack([dmrs.real, dmrs.imag]).astype(np.float32)
-        err, tbblk = fn(to_device(rx_planes), to_device(dmrs_planes),
+        err, tbblk = fn(rx_planes, to_device(dmrs_planes),
                         to_device(scr_sign))
         ok = np.asarray(err) == 0
         return ok, np.asarray(tbblk).astype(np.int8)

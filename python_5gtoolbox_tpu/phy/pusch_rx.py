@@ -503,7 +503,10 @@ class PuschRxMixin:
                     or cfg["EnableCSI2"] * cfg["NumCSI2Bits"]), \
             "batched RX does not multiplex UCI"
         assert cfg["EnableULSCH"] == 1
-        rx_fd_slots = np.asarray(rx_fd_slots)
+        import jax
+
+        if not isinstance(rx_fd_slots, jax.Array):
+            rx_fd_slots = np.asarray(rx_fd_slots)
         tbsize, qm, rate1024 = tbs_mod.ulsch_tbsize(cfg)
         ce_key = tuple(sorted(
             (k, v) for k, v in dict(ce_config).items()
@@ -537,10 +540,15 @@ class PuschRxMixin:
         cinit = cfg["rnti"] * (2 ** 15) + cfg["nNid"]
         scr_sign = (1.0 - 2.0 * gen_prbs_np(cinit, G)).astype(np.float32)
 
-        rx_planes = np.stack([rx_fd_slots.real, rx_fd_slots.imag]
-                             ).astype(np.float32)
+        if isinstance(rx_fd_slots, jax.Array):
+            rx_planes = jnp.stack([jnp.real(rx_fd_slots),
+                                   jnp.imag(rx_fd_slots)]
+                                  ).astype(jnp.float32)
+        else:
+            rx_planes = to_device(np.stack(
+                [rx_fd_slots.real, rx_fd_slots.imag]).astype(np.float32))
         dmrs_planes = np.stack([seqs.real, seqs.imag]).astype(np.float32)
-        err, tbblk = fn(to_device(rx_planes), to_device(dmrs_planes),
+        err, tbblk = fn(rx_planes, to_device(dmrs_planes),
                         to_device(scr_sign))
         ok = np.asarray(err) == 0
         return ok, np.asarray(tbblk).astype(np.int8)

@@ -86,8 +86,13 @@ def to_device(x):
     for the whole process; this moves float32 planes and fuses them on
     device. Returns a device array (complex64 for complex inputs).
     """
+    import jax
     import jax.numpy as jnp
 
+    if isinstance(x, jax.Array):
+        # already device-resident: np.asarray here would round-trip it
+        # through the host (and poison the axon channel for complex)
+        return x
     x = np.asarray(x)
     if np.issubdtype(x.dtype, np.complexfloating) \
             and not _complex_d2h_supported():

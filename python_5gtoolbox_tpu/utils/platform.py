@@ -1,27 +1,25 @@
-"""Platform selection for host-interleaved pipelines.
+"""Platform selection for simulation pipelines.
 
-The axon TPU plugin (experimental) cannot move complex buffers across
-the host<->device boundary, and a complex h2d poisons the process's
-device channel (utils/host.py). As of round 2 every pipeline boundary
-is planar (float32 pairs fused/split on device) and every eager
-complex-literal site is lax.complex-based, so the full simulation
-stack RUNS on the TPU with PY5G_FORCE_TPU=1 — measured PDSCH
-throughput-sim step (scs30/BW20, 2x2 AWGN, MMSE-IRC, 2 slots):
-~1.1 s steady-state on chip, but ~14 min of axon executable compiles
-on first use of each config shape.
+Two pipeline profiles, chosen by MEASUREMENT (out/tpu_vs_cpu_sim.json):
 
-Host-interleaved sims DEFAULT to CPU on this machine — by MEASUREMENT,
-not compile cost (round 3, out/tpu_vs_cpu_sim.json): with the
-persistent compile cache warm, a 20-slot PDSCH sweep runs 5.4 s on the
-chip vs 1.9 s on the 2-vCPU host, and the heavier PUSCH _2_11 loop
-5.4 s vs 3.4 s. Decode outcomes are identical on both platforms. The
-chip loses because per-slot interleaved RX issues hundreds of small
-dispatches (~0.65-3 ms each over the axon tunnel) and the numpy
-channel-estimation stage forces per-slot host<->device transfers;
-flipping the default needs slot-batched RX dispatch, not just cached
-compiles. Set PY5G_FORCE_TPU=1 to run sims on the accelerator anyway.
-The batched pure-device paths (bench, graft entry) always use the TPU
-and win big there.
+* "sweep" — the slot-batched link-level sims and decoder BLER sweeps.
+  Since round 4 the whole RX (LS est -> jitted DFT/DCT CE -> equalize
+  -> decode, rx/ce_jax.py + rx_process_batch) runs as ONE device
+  dispatch per sweep and the waveform/channel/Rx-low-PHY chain stays
+  device-resident, so the accelerator WINS: warm 20-slot PDSCH sweep
+  0.29 s on the chip vs 1.29 s on the 2-vCPU host; PUSCH _2_11
+  10-trial loop 0.33 s vs 2.32 s (identical decode outcomes). Sweeps
+  therefore DEFAULT TO THE ACCELERATOR; PY5G_FORCE_CPU=1 restores CPU
+  routing. First-touch axon compiles (~40 s per config with the
+  persistent cache cold) are paid once ever.
+
+* "latency" — per-slot interleaved paths (single-waveform generation,
+  per-slot RX_process with the NumPy CE, HARQ chains). These issue
+  many small dispatches whose ~0.1-0.5 s axon tunnel round trips
+  dominate, so they default to CPU; PY5G_FORCE_TPU=1 opts in to the
+  chip (everything still runs there — round-2/3 made every boundary
+  planar because a complex transfer poisons the axon device channel,
+  utils/host.py).
 """
 from __future__ import annotations
 
@@ -49,15 +47,29 @@ def enable_persistent_compile_cache() -> None:
         pass  # older jax: cache simply stays off
 
 
-def use_cpu_for_host_pipelines() -> None:
-    """Route this process's JAX work to CPU unless PY5G_FORCE_TPU=1.
+def select_platform(profile: str = "sweep") -> None:
+    """Pick the process's JAX platform for a pipeline profile.
 
-    Must be called before the first JAX device use. Always enables the
-    persistent compile cache (see enable_persistent_compile_cache).
+    profile="sweep": batched sweeps — stay on the accelerator (the
+    measured winner; see module docstring) unless PY5G_FORCE_CPU=1.
+    profile="latency": per-slot interleaved paths — CPU unless
+    PY5G_FORCE_TPU=1.
+    Must be called before the first JAX device use; always enables the
+    persistent compile cache.
     """
+    assert profile in ("sweep", "latency"), profile
     enable_persistent_compile_cache()
-    if os.environ.get("PY5G_FORCE_TPU") == "1":
-        return
     import jax
 
+    if profile == "sweep":
+        if os.environ.get("PY5G_FORCE_CPU") == "1":
+            jax.config.update("jax_platforms", "cpu")
+        return
+    if os.environ.get("PY5G_FORCE_TPU") == "1":
+        return
     jax.config.update("jax_platforms", "cpu")
+
+
+def use_cpu_for_host_pipelines() -> None:
+    """Back-compat alias: the per-slot "latency" profile routing."""
+    select_platform("latency")

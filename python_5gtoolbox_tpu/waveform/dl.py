@@ -33,11 +33,14 @@ def _slot_phase(scs: int, carrier_freq_hz: int, n_slots: int) -> np.ndarray:
 
 def gen_dl_waveform(waveform_config: dict, carrier_config: dict,
                     nrSSB_list=(), nrPdsch_list=(), nrCSIRS_list=(),
-                    nrPDCCH_list=(), Dm: np.ndarray | None = None):
+                    nrPDCCH_list=(), Dm: np.ndarray | None = None,
+                    return_device: bool = False):
     """Returns (fd_waveform, td_waveform, dl_waveform, td_sample_rate_hz).
 
     Shapes match the reference: fd (ant, S*14*12*prb), td (ant,
     S*15*nfft), dl at waveform_config["samplerate_in_mhz"].
+    return_device=True keeps td/dl on the accelerator (fd stays host —
+    it IS the host grid bookkeeping).
     """
     n_slots = waveform_config["numofslots"]
     start_sfn = waveform_config["startSFN"]
@@ -53,19 +56,25 @@ def gen_dl_waveform(waveform_config: dict, carrier_config: dict,
 
     grids = np.zeros((n_slots, nant, 14 * n_sc), np.complex64)
     usages = np.zeros((n_slots, nant, 14 * n_sc), np.int8)
-    for idx in range(n_slots):
-        sfn = start_sfn + (start_slot + idx) // slots_per_frame
-        slot = (start_slot + idx) % slots_per_frame
-        fd, use = grids[idx], usages[idx]
-        for ch in nrSSB_list:
-            fd, use = ch.process(fd, use, sfn, slot)
-        for ch in nrCSIRS_list:
-            fd, use = ch.process(fd, use, sfn, slot)
-        for ch in nrPDCCH_list:
-            fd, use = ch.process(fd, use, sfn, slot)
-        for ch in nrPdsch_list:
-            fd, use = ch.process(fd, use, slot)
-        grids[idx], usages[idx] = fd, use
+    # the per-slot encode jits are LATENCY work (small shapes, host
+    # grid writes after each) — pin them to the host CPU backend so an
+    # accelerated process doesn't pay a tunnel round trip per slot; the
+    # throughput stages below (OFDM/DUC over all slots) stay on the
+    # default (accelerator) device
+    with jax.default_device(jax.devices("cpu")[0]):
+        for idx in range(n_slots):
+            sfn = start_sfn + (start_slot + idx) // slots_per_frame
+            slot = (start_slot + idx) % slots_per_frame
+            fd, use = grids[idx], usages[idx]
+            for ch in nrSSB_list:
+                fd, use = ch.process(fd, use, sfn, slot)
+            for ch in nrCSIRS_list:
+                fd, use = ch.process(fd, use, sfn, slot)
+            for ch in nrPDCCH_list:
+                fd, use = ch.process(fd, use, sfn, slot)
+            for ch in nrPdsch_list:
+                fd, use = ch.process(fd, use, slot)
+            grids[idx], usages[idx] = fd, use
 
     fd_batched = grids.reshape(n_slots, nant, 14, n_sc)
     td = ofdm.tx_low_phy(
@@ -78,6 +87,8 @@ def gen_dl_waveform(waveform_config: dict, carrier_config: dict,
 
     fd_waveform = grids.transpose(1, 0, 2).reshape(nant, -1)
     nfft = num.fft_size(prb)
+    if return_device:
+        return fd_waveform, td_flat, dl, nfft * scs * 1000
     return (fd_waveform, to_host(td_flat), to_host(dl),
             nfft * scs * 1000)
 

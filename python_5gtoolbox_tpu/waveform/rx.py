@@ -14,10 +14,14 @@ from python_5gtoolbox_tpu.utils.host import to_device, to_host
 
 
 def waveform_rx_processing(rx_waveform, carrier_config: dict,
-                           sample_rate_in_hz: float):
+                           sample_rate_in_hz: float,
+                           return_device: bool = False):
     """(ant, N) rx samples -> (td_waveform at carrier rate, fd_waveform).
 
     fd_waveform is (ant, n_slots*14*12*prb), matching the reference.
+    Accepts host or device input; return_device=True keeps both outputs
+    on the accelerator (feeds the slot-batched RX without tunnel
+    round trips).
     """
     scs, bw = carrier_config["scs"], carrier_config["BW"]
     fc_hz = int(carrier_config["carrier_frequency_in_mhz"] * 1e6)
@@ -32,4 +36,6 @@ def waveform_rx_processing(rx_waveform, carrier_config: dict,
     slots = jnp.swapaxes(td.reshape(nant, n_slots, slot_samp), 0, 1)
     fd = ofdm.rx_low_phy(slots, scs, bw, fc_hz)  # (S, ant, 14, n_sc)
     fd_flat = jnp.swapaxes(fd, 0, 1).reshape(nant, -1)
+    if return_device:
+        return td, fd_flat
     return to_host(td), to_host(fd_flat)

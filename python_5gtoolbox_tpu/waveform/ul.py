@@ -7,6 +7,7 @@ compensation, channel filter. Same batched-device design as waveform/dl.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from python_5gtoolbox_tpu.ops import filters, ofdm
@@ -19,8 +20,11 @@ def gen_ul_waveform(waveform_config: dict, carrier_config: dict,
                     nrPusch_list=(), nrSrs_list=(),
                     nrPucchFormat0_list=(), nrPucchFormat1_list=(),
                     nrPucchFormat2_list=(), nrPucchFormat3_list=(),
-                    nrPucchFormat4_list=()):
-    """Returns (fd_waveform, td_waveform, ul_waveform)."""
+                    nrPucchFormat4_list=(), return_device: bool = False):
+    """Returns (fd_waveform, td_waveform, ul_waveform).
+
+    return_device=True keeps td/ul on the accelerator (see
+    waveform/dl.py)."""
     n_slots = waveform_config["numofslots"]
     start_sfn = waveform_config["startSFN"]
     start_slot = waveform_config["startslot"]
@@ -35,20 +39,24 @@ def gen_ul_waveform(waveform_config: dict, carrier_config: dict,
 
     grids = np.zeros((n_slots, nant, 14 * n_sc), np.complex64)
     usages = np.zeros((n_slots, nant, 14 * n_sc), np.int8)
-    for idx in range(n_slots):
-        sfn = start_sfn + (start_slot + idx) // slots_per_frame
-        slot = (start_slot + idx) % slots_per_frame
-        fd, use = grids[idx], usages[idx]
-        for ch in nrPusch_list:
-            fd, use = ch.process(fd, use, slot)
-        for group in (nrPucchFormat0_list, nrPucchFormat1_list,
-                      nrPucchFormat2_list, nrPucchFormat3_list,
-                      nrPucchFormat4_list):
-            for ch in group:
+    # per-slot encode jits pinned to the host CPU backend (latency
+    # work); throughput stages below stay on the accelerator — see
+    # waveform/dl.py
+    with jax.default_device(jax.devices("cpu")[0]):
+        for idx in range(n_slots):
+            sfn = start_sfn + (start_slot + idx) // slots_per_frame
+            slot = (start_slot + idx) % slots_per_frame
+            fd, use = grids[idx], usages[idx]
+            for ch in nrPusch_list:
+                fd, use = ch.process(fd, use, slot)
+            for group in (nrPucchFormat0_list, nrPucchFormat1_list,
+                          nrPucchFormat2_list, nrPucchFormat3_list,
+                          nrPucchFormat4_list):
+                for ch in group:
+                    fd, use = ch.process(fd, use, sfn, slot)
+            for ch in nrSrs_list:
                 fd, use = ch.process(fd, use, sfn, slot)
-        for ch in nrSrs_list:
-            fd, use = ch.process(fd, use, sfn, slot)
-        grids[idx], usages[idx] = fd, use
+            grids[idx], usages[idx] = fd, use
 
     fd_batched = grids.reshape(n_slots, nant, 14, n_sc)
     td = ofdm.tx_low_phy(to_device(fd_batched), scs, bw, fc_hz)
@@ -56,6 +64,8 @@ def gen_ul_waveform(waveform_config: dict, carrier_config: dict,
     td_flat = jnp.swapaxes(td, 0, 1).reshape(nant, -1)
     ul = filters.tx_channel_filter(td_flat, scs, bw, out_rate_hz)
     fd_waveform = grids.transpose(1, 0, 2).reshape(nant, -1)
+    if return_device:
+        return fd_waveform, td_flat, ul
     return fd_waveform, to_host(td_flat), to_host(ul)
 
 

@@ -9,8 +9,8 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-from python_5gtoolbox_tpu.utils.platform import use_cpu_for_host_pipelines  # noqa: E402
-use_cpu_for_host_pipelines()
+from python_5gtoolbox_tpu.utils.platform import select_platform  # noqa: E402
+select_platform("sweep")
 
 import numpy as np  # noqa: E402
 

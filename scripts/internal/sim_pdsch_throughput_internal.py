@@ -76,13 +76,19 @@ def pdsch_before_ceq_processing(carrier_config, pdsch_config, chan_cfg,
         fs_hz, scs, seed=seed)
     dm = model.gen_Dm(n_slots)
 
+    # batched-RX mode (do_ce=False): the waveform, channel and Rx
+    # low-PHY stay ON DEVICE end to end; only the decode flags come
+    # back (each host round trip costs a ~0.1-0.5 s tunnel transfer)
+    dev = not do_ce
     with prof.stage("tx_waveform", items=n_slots, unit="slots"):
         fd, td, dl, _ = dl_wf.gen_dl_waveform(
-            waveform_config, carrier_config, nrPdsch_list=[nr_pdsch], Dm=dm)
+            waveform_config, carrier_config, nrPdsch_list=[nr_pdsch],
+            Dm=dm, return_device=dev)
     with prof.stage("channel", items=dl.shape[-1], unit="samples"):
-        rx = model.filter(dl)
+        rx = model.filter(dl, return_device=dev)
     with prof.stage("rx_lowphy", items=n_slots, unit="slots"):
-        _, rx_fd = rx_wf.waveform_rx_processing(rx, carrier_config, fs_hz)
+        _, rx_fd = rx_wf.waveform_rx_processing(rx, carrier_config, fs_hz,
+                                                return_device=dev)
 
     n_sc = 12 * prb
     slot_size = 14 * n_sc
@@ -138,10 +144,13 @@ def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
             seed + 7919 * i_snr, ce_config, prof=prof,
             do_ce=not use_batch)
         if use_batch:
+            import jax
+            import jax.numpy as jnp
             alloc = [(rx_slot, slot) for rx_slot, _, _, _, slot in slots
                      if (slot % pdsch_config["period_in_slot"])
                      in pdsch_config["allocated_slots"]]
-            rx_stack = np.stack([a[0] for a in alloc])
+            xp = jnp if isinstance(alloc[0][0], jax.Array) else np
+            rx_stack = xp.stack([a[0] for a in alloc])
             slot_nums = [a[1] for a in alloc]
         for algo in ceq_algo_list:
             npass = ntot = 0

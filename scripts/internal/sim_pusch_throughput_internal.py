@@ -52,10 +52,13 @@ def pusch_before_ceq_processing(carrier_config, pusch_config, chan_cfg,
     model = chan_mod.NrChannelModel(
         chan_cfg, pnoise_db, carrier_config["carrier_frequency_in_mhz"] * 1e6,
         fs_hz, scs, seed=seed)
+    dev = not do_ce  # device-resident pipeline for the batched RX
     fd, td, ul = ul_wf.gen_ul_waveform(waveform_config, carrier_config,
-                                       nrPusch_list=[nr_pusch])
-    rx = model.filter(ul)
-    _, rx_fd = rx_wf.waveform_rx_processing(rx, carrier_config, fs_hz)
+                                       nrPusch_list=[nr_pusch],
+                                       return_device=dev)
+    rx = model.filter(ul, return_device=dev)
+    _, rx_fd = rx_wf.waveform_rx_processing(rx, carrier_config, fs_hz,
+                                            return_device=dev)
 
     slot_size = 14 * 12 * prb
     spf = slots_per_frame(scs)
@@ -103,10 +106,13 @@ def run_pusch_throughput(carrier_config, pusch_config, chan_cfg,
             carrier_config, pusch_config, chan_cfg, -snr, n_slots,
             seed + 7919 * i_snr, ce_config, do_ce=not use_batch)
         if use_batch:
+            import jax
+            import jax.numpy as jnp
             alloc = [(rx_slot, slot) for rx_slot, _, _, _, slot in slots
                      if (slot % pusch_config["period_in_slot"])
                      in pusch_config["allocated_slots"]]
-            rx_stack = np.stack([a[0] for a in alloc])
+            xp = jnp if isinstance(alloc[0][0], jax.Array) else np
+            rx_stack = xp.stack([a[0] for a in alloc])
             slot_nums = [a[1] for a in alloc]
         for algo in ceq_algo_list:
             npass = ntot = 0
