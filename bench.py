@@ -243,19 +243,25 @@ def bench_ldpc(schedule="flooded", n_iter_dec=32, batches=(512, 2048)):
     return best, best_b
 
 
-def bench_polar_scl(B=1024):
-    """CA-SCL codewords/s at PDCCH scale (N=512, L=8, chunked impl)."""
+def bench_polar_scl(B=1024, K=164, E=512, L=8, n_max=9, i_il=1,
+                    crc_len=24, rnti=0):
+    """CA-SCL codewords/s (chunked impl). Default = DL scale (N=512);
+    also benched: UL PUSCH-UCI scale (nMax=10, N=1024) and a PDCCH
+    blind-decode batch with traced per-candidate RNTI masks
+    (VERDICT r3 item 7)."""
     import jax
     import jax.numpy as jnp
     from python_5gtoolbox_tpu.ops.polar.decode import polar_decode_scl
 
-    K, E, L = 164, 512, 8
     rng = np.random.default_rng(2)
     llr = jnp.asarray((rng.normal(size=(B, E)) * 2).astype(np.float32))
+    rnti_arg = (jnp.full((), rnti, jnp.int32) if np.isscalar(rnti)
+                else jnp.asarray(rnti, jnp.int32))
 
     @jax.jit
     def step(x, c):
-        ck, ok = polar_decode_scl(x + c, E, K, L, 9, 1, 24, 0, 0)
+        ck, ok = polar_decode_scl(x + c, E, K, L, n_max, i_il, crc_len,
+                                  0, rnti_arg)
         return jnp.float32(ck.sum()) + jnp.float32(ok.sum())
 
     dt = _chain_time(step, llr, n_iter=5)
@@ -272,12 +278,34 @@ def main():
     # L=16 point is the same-BLER deployment config
     lay_cw_s, lay_b = bench_ldpc("layered", 16)
     scl_cw_s = bench_polar_scl()
+    # UL PUSCH-UCI scale (nr_pusch_uci_decode.py:19: nMax=10, iIL=0,
+    # CRC11) at N=1024
+    scl_ul_cw_s = bench_polar_scl(B=512, K=512, E=1024, L=8, n_max=10,
+                                  i_il=0, crc_len=11)
+    # PDCCH blind decode: 64 candidates (16 per slot x 4 slots) at
+    # AL4 (E=432), DCI size 40+CRC24, traced per-candidate RNTI
+    rng_r = np.random.default_rng(5)
+    rntis = rng_r.integers(1, 65519, size=64)
+    scl_bd_cw_s = bench_polar_scl(B=64, K=64, E=432, L=8, n_max=9,
+                                  i_il=1, crc_len=24, rnti=rntis)
 
     extra = [{
         "metric": "polar_scl_throughput",
         "value": round(scl_cw_s, 1),
         "unit": "codewords/s",
         "config": "N=512 K=164 L=8 CA-SCL chunked B=1024",
+    }, {
+        "metric": "polar_scl_ul_throughput",
+        "value": round(scl_ul_cw_s, 1),
+        "unit": "codewords/s",
+        "config": "N=1024 K=512 E=1024 L=8 nMax=10 iIL=0 CRC11 "
+                  "(PUSCH-UCI scale) B=512",
+    }, {
+        "metric": "pdcch_blind_decode_throughput",
+        "value": round(scl_bd_cw_s, 1),
+        "unit": "candidates/s",
+        "config": "E=432 (AL4) K=64 L=8 CRC24+RNTI, 64 traced-rnti "
+                  "candidates per dispatch",
     }, {
         "metric": "ldpc_decode_throughput",
         "value": round(ldpc_cw_s, 1),

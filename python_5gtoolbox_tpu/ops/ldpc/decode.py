@@ -134,7 +134,11 @@ def ldpc_decode(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
     if backend == "auto":
         # pallas wins for large liftings (measured 1.07-1.3x on v5e at
         # zc>=128; below that lane padding to 128 wastes the VPU and the
-        # pure-XLA executable is faster)
+        # pure-XLA executable is faster). The modest margin is NOT a
+        # mis-shaped kernel: out/ldpc_roofline_r04.json measures the
+        # layered kernel at ~98% of the chip's microbenched VPU
+        # elementwise ceiling for this op mix — the XLA path was simply
+        # already close to compute-bound.
         backend = ("pallas" if algo != "BP" and zc >= 128
                    and _tpu_pallas_available() else "jax")
     if backend == "pallas":
