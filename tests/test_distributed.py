@@ -25,13 +25,37 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_filter():
-    # bounded by the communicate(timeout=240) below
+def _run_workers(mode: str):
     port = str(_free_port())
-    procs = [subprocess.Popen(
-        [sys.executable, str(_WORKER), str(pid), port],
+    return [subprocess.Popen(
+        [sys.executable, str(_WORKER), str(pid), port, mode],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in (0, 1)]
+
+
+def test_two_process_distributed_filter():
+    # bounded by the communicate(timeout=240) below
+    procs = _run_workers("filter")
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
+        assert f"proc{pid} PASS" in out, out[-3000:]
+
+
+def test_two_process_sweep_granularity_split():
+    """SURVEY 5.8 'DCN only at sweep granularity': two processes run
+    disjoint SNR subsets of one LDPC BLER sweep with no mid-work
+    communication; one all-gather merges the curve, which must equal
+    the single-process full-sweep result."""
+    procs = _run_workers("sweep")
     outs = []
     for p in procs:
         try:
