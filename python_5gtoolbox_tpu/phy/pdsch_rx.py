@@ -336,7 +336,7 @@ class PdschRxMixin:
         return pdsch_dmrs_ls_est(rx_fd_slot, self.cfg, slot)
 
     def rx_process_batch(self, rx_fd_slots, slot_list, CEQ_config,
-                         LDPC_decoder_config, ce_config):
+                         LDPC_decoder_config, ce_config, fetch=True):
         """Slot-batched RX: (S, Nr, 14*nsc) + per-slot slot numbers ->
         (ok (S,) bool, tbblk (S, A) int8).
 
@@ -393,6 +393,10 @@ class PdschRxMixin:
         dmrs_planes = np.stack([dmrs.real, dmrs.imag]).astype(np.float32)
         err, tbblk = fn(rx_planes, to_device(dmrs_planes),
                         to_device(scr_sign))
+        if not fetch:
+            # async-dispatch mode: the caller overlaps the next sweep's
+            # host-side TX staging with this decode and fetches later
+            return err, tbblk
         ok = np.asarray(err) == 0
         return ok, np.asarray(tbblk).astype(np.int8)
 

@@ -135,6 +135,20 @@ def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
         ce_cfg_full["enable_FO_comp"] = False
     prof_ = prof or _NullProfiler()
     results = {algo: [] for algo in ceq_algo_list}
+    pending = None   # (snr, n_alloc, {algo: device err}) awaiting fetch
+
+    def fetch_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        snr_p, ntot, errs = pending
+        pending = None
+        for algo, err in errs.items():
+            npass = int(np.sum(np.asarray(err) == 0))
+            results[algo].append(npass / max(ntot, 1))
+            print(f"PDSCH snr={snr_p:+.1f}dB {algo}: "
+                  f"{npass}/{ntot} TB passed")
+
     for i_snr, snr in enumerate(snr_db_list):
         # fresh channel trajectory per SNR point: a shared seed would
         # make every point ride the SAME fade sequence and cap the
@@ -152,29 +166,38 @@ def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
             xp = jnp if isinstance(alloc[0][0], jax.Array) else np
             rx_stack = xp.stack([a[0] for a in alloc])
             slot_nums = [a[1] for a in alloc]
+            # software-pipelined sweep: dispatch this point's decodes
+            # WITHOUT fetching, so the device works on SNR i while the
+            # host stages SNR i+1's TX/channel (the single-chip PP
+            # overlap; the previous point is fetched only now)
+            errs = {}
+            nr_pdsch.rvidx = -1
+            for algo in ceq_algo_list:
+                with prof_.stage(f"rx_batch[{algo}]", items=len(alloc),
+                                 unit="slots"):
+                    err, _ = nr_pdsch.rx_process_batch(
+                        rx_stack, slot_nums, {"algo": algo},
+                        ldpc_config, ce_cfg_full, fetch=False)
+                errs[algo] = err
+            fetch_pending()
+            pending = (snr, len(alloc), errs)
+            continue
         for algo in ceq_algo_list:
             npass = ntot = 0
             nr_pdsch.rvidx = -1
-            if use_batch:
-                with prof_.stage(f"rx_batch[{algo}]", items=len(alloc),
+            for rx_slot, H, cov, est, slot in slots:
+                if H is None:
+                    continue
+                with prof_.stage(f"rx_process[{algo}]", items=1,
                                  unit="slots"):
-                    ok, _ = nr_pdsch.rx_process_batch(
-                        rx_stack, slot_nums, {"algo": algo},
-                        ldpc_config, ce_cfg_full)
-                npass, ntot = int(np.sum(ok)), len(alloc)
-            else:
-                for rx_slot, H, cov, est, slot in slots:
-                    if H is None:
-                        continue
-                    with prof_.stage(f"rx_process[{algo}]", items=1,
-                                     unit="slots"):
-                        ok, tbblk, _ = nr_pdsch.RX_process(
-                            rx_slot, slot, {"algo": algo}, H, cov,
-                            ldpc_config, est)
-                    npass += int(ok)
-                    ntot += 1
+                    ok, tbblk, _ = nr_pdsch.RX_process(
+                        rx_slot, slot, {"algo": algo}, H, cov,
+                        ldpc_config, est)
+                npass += int(ok)
+                ntot += 1
             results[algo].append(npass / max(ntot, 1))
             print(f"PDSCH snr={snr:+.1f}dB {algo}: "
                   f"{npass}/{ntot} TB passed")
+    fetch_pending()
     results["tbs_bits"] = nr_pdsch.tbsize
     return results
