@@ -32,33 +32,8 @@ from python_5gtoolbox_tpu.rx.equalize import channel_equ_and_demod
 _MODTYPE = {2: "qpsk", 4: "16qam", 6: "64qam", 8: "256qam", 10: "1024qam"}
 
 
-def equalize_traced(y, h, cov, modtype: str, algo: str):
-    """Traced equalize+demod dispatcher (channel_equ_and_demod without
-    the host->device staging): y (N, Nr), h (N, Nr, NL), cov (N, Nr, Nr)
-    -> llr (N*NL*Qm,) in the reference serialization order."""
-    from python_5gtoolbox_tpu.rx import equalize as eq
-    from python_5gtoolbox_tpu.rx.demod import demodulate
-
-    if algo in ("ZF", "ZF-IRC", "MMSE", "MMSE-IRC"):
-        fn = eq.zf if algo.startswith("ZF") else eq.mmse
-        s, nv = fn(y, h, cov, irc=algo.endswith("IRC"))
-        _, llr = demodulate(s.reshape(-1), modtype, nv.reshape(-1))
-        return llr
-    if algo in ("ML-soft", "ML-hard", "ML-IRC-soft", "ML-IRC-hard"):
-        _, _, _, llr = eq.ml(y, h, cov, modtype, irc="IRC" in algo,
-                             soft=not algo.endswith("hard"))
-        return llr.reshape(-1)
-    if algo in ("ML2-soft", "ML2-IRC-soft"):
-        _, _, _, llr = eq.ml2(y, h, cov, modtype, irc="IRC" in algo)
-        return llr.reshape(-1)
-    if algo in ("MMSE-ML", "MMSE-ML-IRC"):
-        _, _, _, llr = eq.mmse_ml(y, h, cov, modtype, irc="IRC" in algo)
-        return llr.reshape(-1)
-    if algo in ("opt-rank2-ML", "opt-rank2-ML-IRC"):
-        _, _, _, llr = eq.opt_rank2_ml(y, h, cov, modtype,
-                                       irc="IRC" in algo)
-        return llr.reshape(-1)
-    raise ValueError(f"unknown CEQ algo {algo}")
+from python_5gtoolbox_tpu.rx.equalize import (  # noqa: E402  (re-export)
+    equalize_and_demod_traced as equalize_traced)
 
 
 def pdsch_dmrs_ls_est(fd_slot_data: np.ndarray, pdsch_config: dict,
@@ -194,7 +169,10 @@ def dlsch_decode(llr: np.ndarray, tbsize: int, qm: int, rate1024: float,
 
 @functools.lru_cache(maxsize=None)
 def _batch_rx_fn(key: tuple):
-    """Build the jitted batched-RX core for one static config."""
+    """Build the jitted batched-RX core for one static config (the
+    shared DL/UL core lives in rx/batch_core.py)."""
+    from python_5gtoolbox_tpu.rx.batch_core import build_batch_rx_core
+
     (rb_start, rb_size, ssi, nsym, ports, nl, ncdm, add_pos, scs, n_sc,
      nr, qm, tbsize, rate1024, tbs_lbrm, rv, algo, ldpc_key, ce_key,
      scaling_db) = key
@@ -202,131 +180,13 @@ def _batch_rx_fn(key: tuple):
     ce_config = dict(ce_key)
     symlist = get_dmrs_symlist(ssi + nsym, add_pos)
     scaling = 1.0 if ncdm == 1 else 10 ** (scaling_db / 20)
-    modtype = _MODTYPE[qm]
-
-    # static data-RE index per allocation symbol (reference usage rules)
-    if ncdm == 2:
-        dmrs_map = np.ones(12, np.int8)
-    else:
-        dmrs_map = np.zeros(12, np.int8)
-        if 1000 in ports[:nl] or 1001 in ports[:nl]:
-            dmrs_map[0::2] = 1
-        if 1002 in ports[:nl] or 1003 in ports[:nl]:
-            dmrs_map[1::2] = 1
-    dmrs_data_idx = np.nonzero(np.tile(dmrs_map, rb_size) == 0)[0]
-    n_data_re = sum(
-        (len(dmrs_data_idx) if (ssi + k) in symlist else rb_size * 12)
-        for k in range(nsym))
-    G = qm * nl * n_data_re
-
-    A = tbsize
-    tb_poly = "24A" if A > 3824 else "16"
-    B = A + (24 if A > 3824 else 16)
-    bgn = 1
-    if (A <= 292 or (A <= 3824 and rate1024 <= 0.67 * 1024)
-            or rate1024 <= 0.25 * 1024):
-        bgn = 2
-    info = ldpc_ops.get_cbs_info(B, bgn)
-    ncb = min(info.N, math.floor(tbs_lbrm / (info.C * 2 / 3)))
-    er_list = ldpc_ops.get_er_ldpc(G, info.C, qm, nl)
-    rs_info = dict(RSSymMap=list(symlist), RE_distance=4,
-                   NumCDMGroupsWithoutData=ncdm, scs=scs)
-
-    from python_5gtoolbox_tpu.rx import ce_jax
-
-    def core(rx_planes, dmrs_planes, scr_sign):
-        fd = jax.lax.complex(rx_planes[0], rx_planes[1])  # (S, Nr, 14*nsc)
-        dm = jax.lax.complex(dmrs_planes[0], dmrs_planes[1])
-        s = fd.shape[0]
-        # ---- LS estimation on DMRS REs (strided static slices)
-        h_cols = []
-        for idx, sym in enumerate(symlist):
-            start = sym * n_sc + rb_start * 12
-            cseq = jnp.conj(dm[:, idx])                   # (S, rb*6)
-            per_tx = []
-            for tx in range(nl):
-                p0 = ports[tx] - 1000
-                delta = (p0 // 2) % 2
-                d0 = fd[:, :, start + delta: start + rb_size * 12: 4] \
-                    * cseq[:, None, 0::2]
-                d1 = fd[:, :, start + delta + 2:
-                        start + rb_size * 12: 4] * cseq[:, None, 1::2]
-                sgn = 1.0 if p0 in (0, 2) else -1.0
-                per_tx.append((d0 + sgn * d1) / (2 * scaling))
-            h_cols.append(jnp.stack(per_tx, axis=-1))     # (S, Nr, RE, NL)
-        h_ls = jnp.stack(h_cols, axis=1)                  # (S, sym, Nr, RE, NL)
-        h_ls = jnp.swapaxes(h_ls, 2, 3)                   # (S, sym, RE, Nr, NL)
-
-        # ---- channel estimation (jitted batched CE)
-        est = ce_jax.channel_est_batch(h_ls, rs_info, ce_config)
-        H, cov = est["H"], est["cov"]
-
-        # ---- data resource copy + TO/FO compensation
-        res_syms = []
-        for k in range(nsym):
-            start = (ssi + k) * n_sc + rb_start * 12
-            seg = fd[:, :, start: start + rb_size * 12]   # (S, Nr, RE)
-            res_syms.append(jnp.swapaxes(seg, 1, 2))
-        res = jnp.stack(res_syms, axis=1)                 # (S, nsym, RE, Nr)
-        res = ce_jax.comp_data_batch(
-            res, ssi, scs, est["to_avg"],
-            est["fo"] if est["fo_applied"] else None, ce_config)
-
-        # ---- per-symbol data-RE selection (reference G order)
-        ys, hs, cvs = [], [], []
-        for k in range(nsym):
-            sym = ssi + k
-            if sym in symlist:
-                if ncdm == 2:
-                    continue
-                didx = dmrs_data_idx
-            else:
-                didx = np.arange(rb_size * 12)
-            ys.append(res[:, k, didx, :])
-            hs.append(H[:, sym, didx, :, :nl])
-            cvs.append(cov[:, sym, didx // 12, :, :])
-        y = jnp.concatenate(ys, axis=1)                   # (S, NRE, Nr)
-        h = jnp.concatenate(hs, axis=1)
-        cv = jnp.concatenate(cvs, axis=1)
-        n_re = y.shape[1]
-
-        llr = equalize_traced(
-            y.reshape(s * n_re, nr), h.reshape(s * n_re, nr, nl),
-            cv.reshape(s * n_re, nr, nr), modtype, algo)
-        llr = llr.reshape(s, G) * scr_sign[None, :]
-
-        # ---- de-rate-match (Er groups) -> (S, C, N)
-        grps = []
-        g_off = 0
-        c0 = 0
-        while c0 < info.C:
-            E = er_list[c0]
-            c1 = c0
-            while c1 < info.C and er_list[c1] == E:
-                c1 += 1
-            grp = llr[:, g_off: g_off + (c1 - c0) * E] \
-                .reshape(s * (c1 - c0), E)
-            mx = 10.0 * jnp.max(jnp.abs(grp), axis=-1, keepdims=True)
-            rec = ldpc_ops.ldpc_raterecover(grp, info, rv, qm, Ncb=ncb,
-                                            max_llr=mx)
-            grps.append(rec.reshape(s, c1 - c0, info.N))
-            g_off += (c1 - c0) * E
-            c0 = c1
-        llr_dns = jnp.concatenate(grps, axis=1)           # (S, C, N)
-
-        bits, _, _ = ldpc_ops.ldpc_decode(
-            llr_dns.reshape(s * info.C, info.N), info.Zc, bgn,
-            ldpc_cfg["L"], algo=ldpc_cfg["algo"], alpha=ldpc_cfg["alpha"],
-            beta=ldpc_cfg["beta"])
-        bits = bits.reshape(s, info.C, -1)
-        k_apo = info.cbz + info.L
-        cb_bits = bits[:, :, : info.cbz] if info.C > 1 \
-            else bits[:, :, : k_apo]
-        tbblkandcrc = cb_bits.reshape(s, -1)[:, :B]
-        err = crc_ops.crc_check(tbblkandcrc, tb_poly)
-        return err, tbblkandcrc[:, :A]
-
-    return jax.jit(core), G, symlist
+    fn, G = build_batch_rx_core(
+        rb_start=rb_start, rb_size=rb_size, ssi=ssi, nsym=nsym,
+        ports=ports, nl=nl, ncdm=ncdm, scs=scs, n_sc=n_sc, nr=nr, qm=qm,
+        tbsize=tbsize, rate1024=rate1024, tbs_lbrm=tbs_lbrm, rv=rv,
+        algo=algo, ldpc_cfg=ldpc_cfg, ce_config=ce_config,
+        symlist=symlist, scaling=scaling)
+    return fn, G, symlist
 
 
 class PdschRxMixin:
@@ -393,12 +253,13 @@ class PdschRxMixin:
         dmrs_planes = np.stack([dmrs.real, dmrs.imag]).astype(np.float32)
         err, tbblk = fn(rx_planes, to_device(dmrs_planes),
                         to_device(scr_sign))
+        ok = err == 0           # device-side compare; stays async
         if not fetch:
             # async-dispatch mode: the caller overlaps the next sweep's
-            # host-side TX staging with this decode and fetches later
-            return err, tbblk
-        ok = np.asarray(err) == 0
-        return ok, np.asarray(tbblk).astype(np.int8)
+            # host-side TX staging with this decode and fetches later;
+            # ok is a DEVICE bool array with the documented sense
+            return ok, tbblk
+        return np.asarray(ok), np.asarray(tbblk).astype(np.int8)
 
     def RX_process(self, rx_fd_slot, slot, CEQ_config, H_result, cov_m,
                    LDPC_decoder_config, nrChannelEstimation=None):

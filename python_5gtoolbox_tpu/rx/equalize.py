@@ -192,11 +192,18 @@ def ml2(y, h, cov, modtype: str, irc: bool = False, soft: bool = True):
 
     if n_chunk >= n:
         return _body(y, h, sigma2)
-    parts = [_body(y[i: i + n_chunk], h[i: i + n_chunk],
-                   sigma2[i: i + n_chunk])
-             for i in range(0, n, n_chunk)]
-    return tuple(jnp.concatenate([p[k] for p in parts], axis=0)
-                 for k in range(4))
+    # one traced body via lax.map (a python chunk loop would unroll
+    # hundreds of copies of the candidate einsum into the batched-RX
+    # jit's graph); pad the RE axis to a whole number of chunks
+    n_pad = -(-n // n_chunk) * n_chunk
+    yp = jnp.pad(y, ((0, n_pad - n), (0, 0)))
+    hp = jnp.pad(h, ((0, n_pad - n), (0, 0), (0, 0)))
+    sp = jnp.pad(sigma2, (0, n_pad - n), constant_values=1.0)
+    outs = jax.lax.map(
+        lambda t: _body(*t),
+        (yp.reshape(-1, n_chunk, nr), hp.reshape(-1, n_chunk, nr, nl),
+         sp.reshape(-1, n_chunk)))
+    return tuple(o.reshape((n_pad,) + o.shape[2:])[:n] for o in outs)
 
 
 def _ml_finish(y, h, cov, modtype, s_est, best_lay_idx, soft):
@@ -375,6 +382,35 @@ def _opp_cached(modtype):
     if modtype not in _OPP_CACHE:
         _OPP_CACHE[modtype] = _build_opp(modtype)
     return _OPP_CACHE[modtype]
+
+
+def equalize_and_demod_traced(y, h, cov, modtype: str, algo: str):
+    """Traced equalize+demod dispatcher (channel_equ_and_demod without
+    the host->device staging — the batched RX traces this into its
+    per-sweep executable): y (N, Nr), h (N, Nr, NL), cov (N, Nr, Nr)
+    -> llr (N*NL*Qm,) in the reference serialization order."""
+    from python_5gtoolbox_tpu.rx.demod import demodulate
+
+    if algo in ("ZF", "ZF-IRC", "MMSE", "MMSE-IRC"):
+        fn = zf if algo.startswith("ZF") else mmse
+        s, nv = fn(y, h, cov, irc=algo.endswith("IRC"))
+        _, llr = demodulate(s.reshape(-1), modtype, nv.reshape(-1))
+        return llr
+    if algo in ("ML-soft", "ML-hard", "ML-IRC-soft", "ML-IRC-hard"):
+        _, _, _, llr = ml(y, h, cov, modtype, irc="IRC" in algo,
+                          soft=not algo.endswith("hard"))
+        return llr.reshape(-1)
+    if algo in ("ML2-soft", "ML2-IRC-soft"):
+        _, _, _, llr = ml2(y, h, cov, modtype, irc="IRC" in algo)
+        return llr.reshape(-1)
+    if algo in ("MMSE-ML", "MMSE-ML-IRC"):
+        _, _, _, llr = mmse_ml(y, h, cov, modtype, irc="IRC" in algo)
+        return llr.reshape(-1)
+    if algo in ("opt-rank2-ML", "opt-rank2-ML-IRC"):
+        _, _, _, llr = opt_rank2_ml(y, h, cov, modtype,
+                                    irc="IRC" in algo)
+        return llr.reshape(-1)
+    raise ValueError(f"unknown CEQ algo {algo}")
 
 
 def channel_equ_and_demod(y, h, cov, modtype: str, ceq_config: dict):

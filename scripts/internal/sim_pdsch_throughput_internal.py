@@ -135,16 +135,16 @@ def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
         ce_cfg_full["enable_FO_comp"] = False
     prof_ = prof or _NullProfiler()
     results = {algo: [] for algo in ceq_algo_list}
-    pending = None   # (snr, n_alloc, {algo: device err}) awaiting fetch
+    pending = None   # (snr, n_alloc, {algo: device ok flags}) to fetch
 
     def fetch_pending():
         nonlocal pending
         if pending is None:
             return
-        snr_p, ntot, errs = pending
+        snr_p, ntot, oks = pending
         pending = None
-        for algo, err in errs.items():
-            npass = int(np.sum(np.asarray(err) == 0))
+        for algo, ok in oks.items():
+            npass = int(np.sum(np.asarray(ok)))
             results[algo].append(npass / max(ntot, 1))
             print(f"PDSCH snr={snr_p:+.1f}dB {algo}: "
                   f"{npass}/{ntot} TB passed")
@@ -163,6 +163,14 @@ def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
             alloc = [(rx_slot, slot) for rx_slot, _, _, _, slot in slots
                      if (slot % pdsch_config["period_in_slot"])
                      in pdsch_config["allocated_slots"]]
+            if not alloc:
+                # no allocated slot in the simulated window: 0.0 pass
+                # rate, like the per-slot path's npass/max(ntot, 1)
+                fetch_pending()
+                for algo in ceq_algo_list:
+                    results[algo].append(0.0)
+                    print(f"PDSCH snr={snr:+.1f}dB {algo}: 0/0 TB passed")
+                continue
             xp = jnp if isinstance(alloc[0][0], jax.Array) else np
             rx_stack = xp.stack([a[0] for a in alloc])
             slot_nums = [a[1] for a in alloc]
@@ -170,17 +178,17 @@ def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
             # WITHOUT fetching, so the device works on SNR i while the
             # host stages SNR i+1's TX/channel (the single-chip PP
             # overlap; the previous point is fetched only now)
-            errs = {}
+            oks = {}
             nr_pdsch.rvidx = -1
             for algo in ceq_algo_list:
                 with prof_.stage(f"rx_batch[{algo}]", items=len(alloc),
                                  unit="slots"):
-                    err, _ = nr_pdsch.rx_process_batch(
+                    ok, _ = nr_pdsch.rx_process_batch(
                         rx_stack, slot_nums, {"algo": algo},
                         ldpc_config, ce_cfg_full, fetch=False)
-                errs[algo] = err
+                oks[algo] = ok
             fetch_pending()
-            pending = (snr, len(alloc), errs)
+            pending = (snr, len(alloc), oks)
             continue
         for algo in ceq_algo_list:
             npass = ntot = 0

@@ -111,6 +111,11 @@ def run_pusch_throughput(carrier_config, pusch_config, chan_cfg,
             alloc = [(rx_slot, slot) for rx_slot, _, _, _, slot in slots
                      if (slot % pusch_config["period_in_slot"])
                      in pusch_config["allocated_slots"]]
+            if not alloc:
+                for algo in ceq_algo_list:
+                    results[algo].append(0.0)
+                    print(f"PUSCH snr={snr:+.1f}dB {algo}: 0/0 TB passed")
+                continue
             xp = jnp if isinstance(alloc[0][0], jax.Array) else np
             rx_stack = xp.stack([a[0] for a in alloc])
             slot_nums = [a[1] for a in alloc]
