@@ -323,8 +323,11 @@ def main():
         # both repo configs reach the reference's L=32 BLER (layered
         # halves the iterations at equal BLER), so both ratios use the
         # reference's L=32 denominator
-        extra[1]["vs_baseline"] = round(ldpc_cw_s / _REF_LDPC_CW_PER_S, 1)
-        extra[2]["vs_baseline"] = round(lay_cw_s / _REF_LDPC_CW_PER_S, 1)
+        by_name = {e["metric"]: e for e in extra}
+        by_name["ldpc_decode_throughput"]["vs_baseline"] = \
+            round(ldpc_cw_s / _REF_LDPC_CW_PER_S, 1)
+        by_name["ldpc_decode_throughput_layered"]["vs_baseline"] = \
+            round(lay_cw_s / _REF_LDPC_CW_PER_S, 1)
 
     # per-stage breakdown artifact (driver parses only the final line)
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
