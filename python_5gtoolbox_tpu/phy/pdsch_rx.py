@@ -32,10 +32,6 @@ from python_5gtoolbox_tpu.rx.equalize import channel_equ_and_demod
 _MODTYPE = {2: "qpsk", 4: "16qam", 6: "64qam", 8: "256qam", 10: "1024qam"}
 
 
-from python_5gtoolbox_tpu.rx.equalize import (  # noqa: E402  (re-export)
-    equalize_and_demod_traced as equalize_traced)
-
-
 def pdsch_dmrs_ls_est(fd_slot_data: np.ndarray, pdsch_config: dict,
                       slot: int):
     """LS channel estimate on DMRS REs -> (H_LS (sym, RB*3, Nr, NL),
