@@ -133,12 +133,21 @@ def main():
     algos = args.algos.split(",")
     repo = repo_bler(snrs, algos, args.trials)
 
+    # sum accumulated batch records per (snr, algo) key (the runner
+    # appends one line per batch; see tools/pdsch_ref_run.py)
     refs = {}
     ref_file = OUT / "pdsch_ref_bler.jsonl"
     if ref_file.exists():
         for line in ref_file.read_text().splitlines():
             r = json.loads(line)
-            refs[(float(r["snr_db"]), r["algo"])] = r
+            if r.get("cell", "rayleigh2x4") != "rayleigh2x4":
+                continue
+            k = (float(r["snr_db"]), r["algo"])
+            acc = refs.setdefault(k, dict(trials=0, fails=0))
+            acc["trials"] += r["trials"]
+            acc["fails"] += r["fails"]
+    for r in refs.values():
+        r["bler"] = r["fails"] / r["trials"]
     details = []
     for (snr, algo), p in sorted(repo.items()):
         d = dict(snr_db=snr, algo=algo, repo_bler=p["bler"],

@@ -78,59 +78,103 @@ def build_configs():
     return wf, car, pdsch
 
 
-def done_keys():
-    if not JSONL.exists():
-        return set()
-    keys = set()
-    for line in JSONL.read_text().splitlines():
+def build_configs_tdl4x4corr():
+    """4-ant correlated-MIMO TDL cell (VERDICT r4 item 4): Nt=4/Nr=4,
+    2 layers through an explicit rank-2 precoder, TDL-A DS=100ns with
+    Kronecker spatial correlation alpha=0.9/beta=0.3 ("medium" DL per
+    TS 38.101-4 B.2.3.1; reference builds it via the customized
+    [alpha, beta] path of nr_spatial_correlation_matrix.py:18)."""
+    wf, car, pdsch = build_configs()
+    car.update(num_of_ant=4, Nr=4, maxMIMO_layers=4)
+    pdsch["num_of_layers"] = 2
+    pdsch["precoding_matrix"] = PREC_4X2
+    return wf, car, pdsch
+
+
+# TS 38.211-style rank-2/4-ant precoder (columns orthogonal, unit power)
+PREC_4X2 = (np.array([[1, 0], [0, 1], [1, 0], [0, -1]], dtype=np.complex64)
+            / np.sqrt(2))
+
+CELLS = {
+    "rayleigh2x4": (build_configs, CHANNEL_PARAMETER),
+    "tdl4x4corr": (build_configs_tdl4x4corr,
+                   ["TDL-A", 0, 0, 0, 0, 100, [0.9, 0.3]]),
+}
+
+
+def done_trials(jsonl, cell):
+    """Total accumulated reference trials per (snr, algo) key, summed
+    across batch lines (accumulation support: each run appends batch
+    records; totals are summed here and in tools/pdsch_bler_parity.py)."""
+    totals = {}
+    if not jsonl.exists():
+        return totals
+    for line in jsonl.read_text().splitlines():
         try:
             d = json.loads(line)
-            keys.add((d["snr_db"], d["algo"]))
         except Exception:
-            pass
-    return keys
+            continue
+        if d.get("cell", "rayleigh2x4") != cell:
+            continue
+        k = (d["snr_db"], d["algo"])
+        totals[k] = totals.get(k, 0) + d["trials"]
+    return totals
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--trials", type=int, default=40)
+    ap.add_argument("--trials", type=int, default=40,
+                    help="TOTAL trials target per (snr, algo); existing "
+                         "jsonl lines count toward it")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="trials per appended jsonl record")
     ap.add_argument("--algos", default="MMSE-IRC")
     ap.add_argument("--snrs", default="-8,-6,-4,-2,0")
+    ap.add_argument("--cell", default="rayleigh2x4", choices=sorted(CELLS))
     args = ap.parse_args()
     algos = args.algos.split(",")
     snrs = [float(s) for s in args.snrs.split(",")]
 
     from scripts.internal import sim_pdsch_throughput_internal as simint
 
-    wf, car, pdsch = build_configs()
+    build, chan_param = CELLS[args.cell]
+    wf, car, pdsch = build()
     OUT.mkdir(exist_ok=True)
-    done = done_keys()
-    for snr in snrs:
-        todo = [a for a in algos if (snr, a) not in done]
-        if not todo:
-            continue
-        fails = {a: 0 for a in todo}
-        t0 = time.time()
-        for trial in range(args.trials):
-            nrPdsch, rx_fd, slot, H, cov, est = \
-                simint.pdsch_before_CEQ_processing(
-                    wf, car, pdsch, CHANNEL_PARAMETER, CE_CONFIG, -snr)
+    # round-robin over SNRs one batch at a time so an early kill leaves
+    # a balanced trial count at every point
+    while True:
+        done = done_trials(JSONL, args.cell)
+        work = [(snr, [a for a in algos
+                       if done.get((snr, a), 0) < args.trials])
+                for snr in snrs]
+        work = [(snr, todo) for snr, todo in work if todo]
+        if not work:
+            break
+        for snr, todo in work:
+            n = min(args.batch,
+                    max(args.trials - done.get((snr, a), 0) for a in todo))
+            fails = {a: 0 for a in todo}
+            t0 = time.time()
+            for trial in range(n):
+                nrPdsch, rx_fd, slot, H, cov, est = \
+                    simint.pdsch_before_CEQ_processing(
+                        wf, car, pdsch, chan_param, CE_CONFIG, -snr)
+                for algo in todo:
+                    status, _, _, est = simint.pdsch_CEQ_processing(
+                        nrPdsch, rx_fd, slot, H, cov, dict(LDPC_CONFIG),
+                        est, {"algo": algo})
+                    fails[algo] += int(not status)
+                print(f"snr={snr} trial={trial} "
+                      + " ".join(f"{a}:fails={fails[a]}" for a in todo),
+                      flush=True)
             for algo in todo:
-                status, _, _, est = simint.pdsch_CEQ_processing(
-                    nrPdsch, rx_fd, slot, H, cov, dict(LDPC_CONFIG), est,
-                    {"algo": algo})
-                fails[algo] += int(not status)
-            print(f"snr={snr} trial={trial} "
-                  + " ".join(f"{a}:fails={fails[a]}" for a in todo),
-                  flush=True)
-        for algo in todo:
-            rec = dict(snr_db=snr, algo=algo, trials=args.trials,
-                       fails=fails[algo],
-                       bler=fails[algo] / args.trials,
-                       wall_s=round(time.time() - t0, 1))
-            with open(JSONL, "a") as f:
-                f.write(json.dumps(rec) + "\n")
-            print("DONE " + json.dumps(rec), flush=True)
+                rec = dict(snr_db=snr, algo=algo, trials=n,
+                           fails=fails[algo], bler=fails[algo] / n,
+                           cell=args.cell,
+                           wall_s=round(time.time() - t0, 1))
+                with open(JSONL, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print("BATCH " + json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -60,10 +60,6 @@ def repo_bler(snrs, trials, batch=40):
         rho=0, fm_inHz=FM_HZ, DSdesired=100)
     waveform_config = dict(numofslots=1, startSFN=0, startslot=0,
                            samplerate_in_mhz=fs_hz / 1e6)
-    nr_pusch = NrPUSCH(dict(car), dict(pusch))
-    _, _, ul = ul_wf.gen_ul_waveform(waveform_config, dict(car),
-                                     nrPusch_list=[nr_pusch],
-                                     return_device=True)
     slot_size = 14 * 12 * prb
     out = {}
     for snr in snrs:
@@ -74,6 +70,13 @@ def repo_bler(snrs, trials, batch=40):
             n = min(batch, trials - done)
             slots = []
             for k in range(n):
+                # fresh TB payload + DMRS realization per trial, matching
+                # the reference runner's per-trial TX regeneration
+                # (ADVICE r4 finding 4)
+                nr_pusch = NrPUSCH(dict(car), dict(pusch))
+                _, _, ul = ul_wf.gen_ul_waveform(
+                    waveform_config, dict(car), nrPusch_list=[nr_pusch],
+                    return_device=True)
                 model = chan_mod.NrChannelModel(
                     chan_cfg, -float(snr),
                     car["carrier_frequency_in_mhz"] * 1e6, fs_hz, scs,

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--snrs", default="5")
     ap.add_argument("--fm", type=float, default=30.0)
     ap.add_argument("--timeoff-ns", type=float, default=20.0)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="trials per appended jsonl record; --trials is "
+                         "the accumulated TOTAL target per SNR")
     args = ap.parse_args()
 
     from scripts.internal import sim_pusch_throughput_internal as simint
@@ -53,28 +56,51 @@ def main():
     chan_param = ["TDL-A", args.timeoff_ns, 0, args.fm, 0, 100, [0, 0]]
     ldpc = {"L": 32, "algo": "min-sum", "alpha": 0.8, "beta": 0.3}
 
+    snrs = [float(s) for s in args.snrs.split(",")]
     OUT.mkdir(exist_ok=True)
-    for snr in [float(s) for s in args.snrs.split(",")]:
-        t0 = time.time()
-        fails = 0
-        for trial in range(args.trials):
-            nrP, rx_fd, slot, H, cov, est = \
-                simint.pusch_before_CEQ_processing(
-                    dict(wf), dict(car), dict(pusch), chan_param,
-                    dict(ce), -snr)
-            status, _, _, est = simint.pusch_CEQ_processing(
-                nrP, rx_fd, slot, H, cov, dict(ldpc), est,
-                {"algo": "MMSE-IRC"})
-            fails += int(not status)
-            print(f"snr={snr} trial={trial} fails={fails}", flush=True)
-        rec = dict(snr_db=snr, algo="MMSE-IRC", trials=args.trials,
-                   fails=fails, bler=fails / args.trials,
-                   fm_hz=args.fm, timeoff_ns=args.timeoff_ns,
-                   channel="TDL-A DS100ns",
-                   wall_s=round(time.time() - t0, 1))
-        with open(JSONL, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-        print("DONE " + json.dumps(rec), flush=True)
+
+    def done_trials():
+        totals = {s: 0 for s in snrs}
+        if JSONL.exists():
+            for line in JSONL.read_text().splitlines():
+                try:
+                    r = json.loads(line)
+                except Exception:
+                    continue
+                if (r.get("fm_hz") == args.fm
+                        and r.get("timeoff_ns") == args.timeoff_ns
+                        and r["snr_db"] in totals):
+                    totals[r["snr_db"]] += r["trials"]
+        return totals
+
+    # round-robin one batch per SNR so an early kill leaves balanced counts
+    while True:
+        totals = done_trials()
+        todo = [s for s in snrs if totals[s] < args.trials]
+        if not todo:
+            break
+        for snr in todo:
+            n = min(args.batch, args.trials - totals[snr])
+            t0 = time.time()
+            fails = 0
+            for trial in range(n):
+                nrP, rx_fd, slot, H, cov, est = \
+                    simint.pusch_before_CEQ_processing(
+                        dict(wf), dict(car), dict(pusch), chan_param,
+                        dict(ce), -snr)
+                status, _, _, est = simint.pusch_CEQ_processing(
+                    nrP, rx_fd, slot, H, cov, dict(ldpc), est,
+                    {"algo": "MMSE-IRC"})
+                fails += int(not status)
+                print(f"snr={snr} trial={trial} fails={fails}", flush=True)
+            rec = dict(snr_db=snr, algo="MMSE-IRC", trials=n,
+                       fails=fails, bler=fails / n,
+                       fm_hz=args.fm, timeoff_ns=args.timeoff_ns,
+                       channel="TDL-A DS100ns",
+                       wall_s=round(time.time() - t0, 1))
+            with open(JSONL, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print("BATCH " + json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
