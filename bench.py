@@ -163,6 +163,12 @@ def bench_ofdm_duc(profile: dict | None = None):
             "golden_tolerance": 2e-4,
             "ok": parity_err < 2e-4,
         }
+        if parity_err >= 2e-4:
+            # fail LOUDLY (ADVICE r4 finding 3): a silent ok=false would
+            # let a kernel precision regression publish green throughput
+            raise RuntimeError(
+                f"PARITY FAIL: on-chip bf16x3 filter error {parity_err:g} "
+                f">= 2e-4 vs f64 upfirdn — refusing to report throughput")
 
         # per-stage breakdown (VERDICT r2 item 10): time each pipeline
         # stage in isolation with the same chained methodology
@@ -369,6 +375,10 @@ def main():
             "metric": "link_level_pdsch_sweep",
             "value": round(slots_s, 1),
             "unit": "slots/s",
+            # real-time factor vs the scs30 slot rate (2,000 slots/s):
+            # 1.0 = the full TX+channel+RX sim keeps up with the air
+            # interface (VERDICT r4 item 8)
+            "rt_factor": round(slots_s / 2000.0, 4),
             "config": "TX + 1-tap Rayleigh fm=200 + batched-RX MMSE-IRC "
                       "+ LDPC L=16, BW20 scs30 Nt2/Nr4, 6 SNR x 20 "
                       "slots, end-to-end on chip",

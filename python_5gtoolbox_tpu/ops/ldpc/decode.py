@@ -105,7 +105,8 @@ def _tpu_pallas_available() -> bool:
 
 def ldpc_decode(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
                 algo: str = "min-sum", alpha: float = 1.0, beta: float = 0.0,
-                backend: str = "auto", schedule: str = "flooded"):
+                backend: str = "auto", schedule: str = "flooded",
+                semantics: str = "exact"):
     """Decode (B, N) LLRs (punctured codeword, LLR>0 => bit 0).
 
     Returns (bits (B, K) int8, ok (B,) bool, full_bits (B, ncols*Zc)).
@@ -123,12 +124,19 @@ def ldpc_decode(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
     the SURVEY section 6 curves in tests/test_ldpc.py), which halves
     decode latency for the same target. min-sum family only.
 
+    semantics: "exact" (default) keeps the reference's bit-pinned
+    check-node rules; "fast" (Pallas only) opts into the relaxed
+    tie/zero-sign check node — BLER-curve-equivalent, not bit-identical
+    (see pallas_decode._check_node_minsum_fast).
+
     Jitted entry: (zc, bgn, n_iter, algo, schedule) are compile-time;
     alpha/beta stay traced so the NMS/OMS hyper-parameter sweeps reuse
     one executable per shape.
     """
     if schedule not in ("flooded", "layered"):
         raise ValueError(f"unknown schedule {schedule!r}")
+    if semantics != "exact" and algo == "BP":
+        raise ValueError("fast semantics is min-sum family only")
     if schedule == "layered" and algo == "BP":
         raise ValueError("layered schedule is min-sum family only")
     if backend == "auto":
@@ -145,7 +153,10 @@ def ldpc_decode(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
         from python_5gtoolbox_tpu.ops.ldpc.pallas_decode import (
             ldpc_decode_pallas)
         return ldpc_decode_pallas(llr_in, zc, bgn, n_iter, alpha, beta,
-                                  schedule=schedule)
+                                  schedule=schedule, semantics=semantics)
+    if semantics != "exact":
+        raise ValueError("semantics='fast' is a Pallas-kernel option "
+                         "(backend='pallas')")
     return _ldpc_decode_jit(llr_in, jnp.float32(alpha), jnp.float32(beta),
                             zc=zc, bgn=bgn, n_iter=n_iter, algo=algo,
                             schedule=schedule)

@@ -102,9 +102,44 @@ def _check_node_minsum(ext, alpha, beta):
     return msgs
 
 
-def _make_kernel(bgn: int, zc: int, n_iter: int, schedule: str = "flooded"):
+def _check_node_minsum_fast(ext, alpha, beta):
+    """Relaxed check-node semantics (opt-in, VERDICT r4 item 5).
+
+    Drops the reference's two bookkeeping quirks the roofline artifact
+    (out/ldpc_roofline_r04.json) identified as the op-count bound:
+      * first-instance-of-min tie tracking — ALL instances of the min
+        are excluded from m2 instead (on a tie every min edge sees the
+        strictly-second magnitude: optimistic by one tie case);
+      * zero-LLR sign propagation (sign(0)=0 zeroing messages) —
+        sign(0) is treated as +1 like hardware min-sum.
+    ~1/3 fewer VPU ops per edge than _check_node_minsum; NOT
+    bit-identical to the reference — BLER-curve-validated instead
+    (tools/ldpc_fast_mode.py artifact).
+    """
+    d = len(ext)
+    sgn = [jnp.where(e < 0, -1.0, 1.0) for e in ext]
+    mag = [jnp.abs(e) for e in ext]
+    m1 = functools.reduce(jnp.minimum, mag)
+    m2 = functools.reduce(
+        jnp.minimum,
+        [jnp.where(mag[k] == m1, _INF, mag[k]) for k in range(d)])
+    prod = functools.reduce(jnp.multiply, sgn)
+    msgs = []
+    for k in range(d):
+        min_excl = jnp.where(mag[k] == m1, m2, m1)
+        msgs.append(alpha * prod * sgn[k]
+                    * jnp.maximum(min_excl - beta, 0.0))
+    return msgs
+
+
+_CHECK_NODE = {"exact": _check_node_minsum, "fast": _check_node_minsum_fast}
+
+
+def _make_kernel(bgn: int, zc: int, n_iter: int, schedule: str = "flooded",
+                 semantics: str = "exact"):
     rows, nrows, ncols = _graph(bgn, zc)
     edge_off = np.cumsum([0] + [len(r) for r in rows])
+    check_node = _CHECK_NODE[semantics]
 
     def syndrome_ok(bits_i32):
         """bits_i32: (Bt, ncols, zc) -> (Bt, 1) int32 0/1.
@@ -150,7 +185,7 @@ def _make_kernel(bgn: int, zc: int, n_iter: int, schedule: str = "flooded"):
                         _roll_fwd(lq_v[:, c, :], p, zc)
                         - lr[:, edge_off[r] + k, :]
                         for k, (c, p) in enumerate(edges)]
-                    msgs = _check_node_minsum(ext, alpha, beta)
+                    msgs = check_node(ext, alpha, beta)
                     lr[:, edge_off[r]:edge_off[r + 1], :] = jnp.stack(
                         msgs, axis=1)
                     # variable-node accumulate: LQ = llr0 + sum incoming
@@ -169,7 +204,7 @@ def _make_kernel(bgn: int, zc: int, n_iter: int, schedule: str = "flooded"):
                         _roll_fwd(cur[c], p, zc)
                         - lr[:, edge_off[r] + k, :]
                         for k, (c, p) in enumerate(edges)]
-                    msgs = _check_node_minsum(ext, alpha, beta)
+                    msgs = check_node(ext, alpha, beta)
                     lr[:, edge_off[r]:edge_off[r + 1], :] = jnp.stack(
                         msgs, axis=1)
                     for k, (c, p) in enumerate(edges):
@@ -194,7 +229,8 @@ def _make_kernel(bgn: int, zc: int, n_iter: int, schedule: str = "flooded"):
 
 
 def _make_kernel_packed(bgn: int, zc: int, n_iter: int,
-                        schedule: str = "flooded"):
+                        schedule: str = "flooded",
+                        semantics: str = "exact"):
     """Small-Zc layout: lanes = 128 packed CODEWORDS, sublanes = Zc.
 
     For zc < 128 the standard layout pads the lane axis to 128 and
@@ -204,6 +240,7 @@ def _make_kernel_packed(bgn: int, zc: int, n_iter: int,
     """
     rows, nrows, ncols = _graph(bgn, zc)
     edge_off = np.cumsum([0] + [len(r) for r in rows])
+    check_node = _CHECK_NODE[semantics]
 
     def roll_fwd(x, p):
         # x: (zc, Bt); variable -> check view: rows [p:] ++ [:p]
@@ -247,7 +284,7 @@ def _make_kernel_packed(bgn: int, zc: int, n_iter: int,
                 for r, edges in enumerate(rows):
                     ext = [roll_fwd(lq_v[c], p) - lr[edge_off[r] + k]
                            for k, (c, p) in enumerate(edges)]
-                    msgs = _check_node_minsum(ext, alpha, beta)
+                    msgs = check_node(ext, alpha, beta)
                     lr[edge_off[r]:edge_off[r + 1]] = jnp.stack(msgs,
                                                                axis=0)
                     for k, (c, p) in enumerate(edges):
@@ -258,7 +295,7 @@ def _make_kernel_packed(bgn: int, zc: int, n_iter: int,
                 for r, edges in enumerate(rows):
                     ext = [roll_fwd(cur[c], p) - lr[edge_off[r] + k]
                            for k, (c, p) in enumerate(edges)]
-                    msgs = _check_node_minsum(ext, alpha, beta)
+                    msgs = check_node(ext, alpha, beta)
                     lr[edge_off[r]:edge_off[r + 1]] = jnp.stack(msgs,
                                                                axis=0)
                     for k, (c, p) in enumerate(edges):
@@ -290,9 +327,11 @@ def _packed_fits_vmem(zc: int, bgn: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("zc", "bgn", "n_iter", "schedule", "interpret"))
+    jax.jit, static_argnames=("zc", "bgn", "n_iter", "schedule", "interpret",
+                              "semantics"))
 def _decode_packed_jit(llr_in, alpha, beta, *, zc, bgn, n_iter,
-                       schedule="flooded", interpret=False):
+                       schedule="flooded", interpret=False,
+                       semantics="exact"):
     rows, nrows, ncols = _graph(bgn, zc)
     n_edges = sum(len(r) for r in rows)
     B = llr_in.shape[0]
@@ -305,7 +344,7 @@ def _decode_packed_jit(llr_in, alpha, beta, *, zc, bgn, n_iter,
     llr0 = jnp.transpose(llr0, (1, 2, 0))               # (ncols, zc, Bp)
     ab = jnp.stack([alpha, beta]).astype(jnp.float32)[None, :]
 
-    kernel = _make_kernel_packed(bgn, zc, n_iter, schedule)
+    kernel = _make_kernel_packed(bgn, zc, n_iter, schedule, semantics)
     bits3, ok = pl.pallas_call(
         kernel,
         grid=(Bp // bt,),
@@ -338,9 +377,10 @@ def _decode_packed_jit(llr_in, alpha, beta, *, zc, bgn, n_iter,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("zc", "bgn", "n_iter", "schedule", "interpret"))
+    jax.jit, static_argnames=("zc", "bgn", "n_iter", "schedule", "interpret",
+                              "semantics"))
 def _decode_jit(llr_in, alpha, beta, *, zc, bgn, n_iter, schedule="flooded",
-                interpret=False):
+                interpret=False, semantics="exact"):
     rows, nrows, ncols = _graph(bgn, zc)
     n_edges = sum(len(r) for r in rows)
     B = llr_in.shape[0]
@@ -353,7 +393,7 @@ def _decode_jit(llr_in, alpha, beta, *, zc, bgn, n_iter, schedule="flooded",
     llr0 = jnp.pad(llr0, ((0, Bp - B), (0, 0), (0, 0)))
     ab = jnp.stack([alpha, beta]).astype(jnp.float32)[None, :]
 
-    kernel = _make_kernel(bgn, zc, n_iter, schedule)
+    kernel = _make_kernel(bgn, zc, n_iter, schedule, semantics)
     bits3, ok = pl.pallas_call(
         kernel,
         grid=(Bp // bt,),
@@ -388,13 +428,17 @@ def _decode_jit(llr_in, alpha, beta, *, zc, bgn, n_iter, schedule="flooded",
 def ldpc_decode_pallas(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
                        alpha: float = 1.0, beta: float = 0.0,
                        schedule: str = "flooded", interpret: bool = False,
-                       layout: str = "auto"):
+                       layout: str = "auto", semantics: str = "exact"):
     """Decode (B, N) punctured-codeword LLRs with the Pallas kernel.
 
     Same contract as ops.ldpc.decode.ldpc_decode (min-sum family only):
     returns (bits (B, K) int8, ok (B,) bool, full_bits (B, ncols*Zc)).
     schedule="layered" sweeps check rows serially within an iteration
     (~2x convergence per iteration vs "flooded"; see decode.ldpc_decode).
+
+    semantics="fast" opts into the relaxed check node
+    (_check_node_minsum_fast) — NOT bit-identical to the reference;
+    default "exact" keeps the bit-pinned reference semantics.
 
     layout="auto" picks the codeword-packed lane layout for zc < 128
     (lanes carry 128 codewords, Zc rides the sublane axis, so small
@@ -407,4 +451,4 @@ def ldpc_decode_pallas(llr_in: jnp.ndarray, zc: int, bgn: int, n_iter: int,
     fn = _decode_packed_jit if layout == "packed" else _decode_jit
     return fn(llr_in, jnp.float32(alpha), jnp.float32(beta),
               zc=zc, bgn=bgn, n_iter=n_iter, schedule=schedule,
-              interpret=interpret)
+              interpret=interpret, semantics=semantics)

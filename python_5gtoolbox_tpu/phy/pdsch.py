@@ -103,7 +103,64 @@ def pdsch_symbol_encode(g_seq, scramble_seq, precoding, qm: int,
     n = syms.shape[-1]
     xi = jnp.swapaxes(
         syms.reshape(syms.shape[:-1] + (n // n_layers, n_layers)), -1, -2)
-    return jnp.einsum("al,...lr->...ar", precoding.astype(jnp.complex64), xi)
+    # HIGHEST: the layer->antenna map is a tiny-K selection matmul; TPU
+    # default precision would round the QAM symbol values to bf16 and
+    # break IQ parity with the reference (atol 1e-5 waveform tests)
+    return jnp.einsum("al,...lr->...ar", precoding.astype(jnp.complex64),
+                      xi, precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("layout",))
+def _pdsch_compose_grid(data_syms, dmrs_vals, layout):
+    """Compose slot grids from the batched data/DMRS streams.
+
+    data_syms: (S, ant, n_data_re) complex64 precoded data REs in the
+    reference's mapping order (symbol-major, RE-ascending,
+    nrpdsch_resource_mapping.py:58); dmrs_vals: (S, nd, ant, rb12)
+    precoded DMRS symbol vectors (zeros on the data comb).
+    -> (S, ant, 14, n_sc) grids. Grid composition is all static slices,
+    reshapes and concats — no gather/scatter (TPU gathers serialize to
+    ~1 element/cycle).
+    """
+    (n_sc, rb_start, rb_size, start_sym, n_sym, dmrs_syms, cdm,
+     data_comb) = layout
+    s_dim, nant = data_syms.shape[0], data_syms.shape[1]
+    rb12, rb6 = rb_size * 12, rb_size * 6
+    regions = {}
+    off = 0
+    for sym in range(start_sym, start_sym + n_sym):
+        if sym in dmrs_syms:
+            dv = dmrs_vals[:, dmrs_syms.index(sym)]      # (S, ant, rb12)
+            if cdm == 1:
+                d = jax.lax.slice_in_dim(data_syms, off, off + rb6,
+                                         axis=-1)
+                off += rb6
+                region = dv.reshape(s_dim, nant, rb6, 2) \
+                    .at[..., data_comb].set(d).reshape(s_dim, nant, rb12)
+            else:
+                region = dv
+        else:
+            region = jax.lax.slice_in_dim(data_syms, off, off + rb12,
+                                          axis=-1)
+            off += rb12
+        regions[sym] = region
+    left = rb_start * 12
+    right = n_sc - left - rb12
+    zsym = jnp.zeros((s_dim, nant, n_sc), jnp.complex64)
+    cols = []
+    for sym in range(14):
+        if sym not in regions:
+            cols.append(zsym)
+            continue
+        parts = []
+        if left:
+            parts.append(jnp.zeros((s_dim, nant, left), jnp.complex64))
+        parts.append(regions[sym].astype(jnp.complex64))
+        if right:
+            parts.append(jnp.zeros((s_dim, nant, right), jnp.complex64))
+        cols.append(jnp.concatenate(parts, axis=-1)
+                    if len(parts) > 1 else parts[0])
+    return jnp.stack(cols, axis=2)
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +241,130 @@ class Pdsch:
             n_ant, cinit, G))
         fd_slot = self._data_mapping_commit(precoded, fd_slot, usage)
         return fd_slot, usage
+
+    # -- slot-batched device TX (VERDICT r4 item 1) -------------------------
+    def tx_batch_supported(self) -> bool:
+        """True when this config's RE layout is slot-invariant and
+        structured (type-1 single-symbol DMRS, all-data allocation) so
+        tx_grid_batch can compose grids with static slices only."""
+        cfg, dmrs = self.cfg, self.cfg["DMRS"]
+        if dmrs["DMRSConfigType"] != 1 or dmrs["NrOfDMRSSymbols"] != 1:
+            return False
+        start = cfg["StartSymbolIndex"]
+        ld = start + cfg["NrOfSymbols"]
+        syms = get_dmrs_symlist(ld, dmrs["DMRSAddPos"])
+        if any(s < start or s >= ld for s in syms):
+            return False
+        combs = {((p - 1000) // 2) % 2
+                 for p in cfg["PortIndexList"][:cfg["num_of_layers"]]}
+        if dmrs["NumCDMGroupsWithoutData"] == 1 and len(combs) != 1:
+            return False   # data comb would be ambiguous
+        return True
+
+    def _tx_layout(self):
+        cfg, dmrs = self.cfg, self.cfg["DMRS"]
+        start = cfg["StartSymbolIndex"]
+        n_sym = cfg["NrOfSymbols"]
+        dmrs_syms = tuple(get_dmrs_symlist(start + n_sym,
+                                           dmrs["DMRSAddPos"]))
+        cdm = dmrs["NumCDMGroupsWithoutData"]
+        comb = ((cfg["PortIndexList"][0] - 1000) // 2) % 2
+        rb_start = cfg["ResAlloType1"]["RBStart"]
+        rb_size = cfg["ResAlloType1"]["RBSize"]
+        n_data_re = (n_sym - len(dmrs_syms)) * rb_size * 12
+        if cdm == 1:
+            n_data_re += len(dmrs_syms) * rb_size * 6
+        layout = (12 * self.prb_size, rb_start, rb_size, start, n_sym,
+                  dmrs_syms, cdm, 1 - comb)
+        return layout, n_data_re
+
+    def _dmrs_values(self, slot: int) -> np.ndarray:
+        """Precoded DMRS vectors for one slot: (nd, ant, rb12) complex64
+        (host; same math as _dmrs_process without the grid writes)."""
+        cfg, dmrs = self.cfg, self.cfg["DMRS"]
+        rb_start = cfg["ResAlloType1"]["RBStart"]
+        rb_size = cfg["ResAlloType1"]["RBSize"]
+        symlist = get_dmrs_symlist(
+            cfg["StartSymbolIndex"] + cfg["NrOfSymbols"],
+            dmrs["DMRSAddPos"])
+        n_layers = cfg["num_of_layers"]
+        ports = cfg["PortIndexList"]
+        scaling = (1.0 if dmrs["NumCDMGroupsWithoutData"] == 1
+                   else 10 ** (-3 / 20))
+        out = np.zeros((len(symlist), self.precoding.shape[0],
+                        rb_size * 12), np.complex64)
+        for k, sym in enumerate(symlist):
+            seq = pdsch_dmrs_seq(dmrs, rb_start, rb_size, slot, sym)
+            data = np.zeros((n_layers, rb_size * 12), np.complex64)
+            for m in range(n_layers):
+                d0 = ports[m] - 1000
+                delta = (d0 // 2) % 2
+                wf1 = 1 - (d0 % 2) * 2
+                data[m, 0 + delta::4] = scaling * seq[0::2]
+                data[m, 2 + delta::4] = scaling * wf1 * seq[1::2]
+            out[k] = self.precoding @ data
+        return out
+
+    def tx_grid_batch(self, slot_list):
+        """Slot-batched device TX: one traced encode + grid compose for
+        every allocated slot in slot_list -> (S, ant, 14, n_sc) device
+        complex64 grids (gated slots all-zero).
+
+        Replaces the reference's per-slot process() loop
+        (py5gphy/nr_waveform/nr_dl_waveform.py:60-102 +
+        nr_pdsch/nr_pdsch_process.py:8-44) with DLSCH encode batched
+        over slots x CBs and a static-slice grid composition. rv
+        cycling / trblk regeneration semantics match process() exactly
+        (rvidx advances per allocated slot; fresh trblk at rvidx 0).
+        """
+        cfg = self.cfg
+        n_layers = cfg["num_of_layers"]
+        n_ant = self.carrier["num_of_ant"]
+        layout, n_data_re = self._tx_layout()
+        n_sc = layout[0]
+        s_dim = len(slot_list)
+
+        active_idx, rvs, trblks, dmrs_vals = [], [], [], []
+        for i, slot in enumerate(slot_list):
+            if (slot % cfg["period_in_slot"]) not in cfg["allocated_slots"]:
+                continue
+            rv = self.getnextrv()
+            if self.rvidx == 0 or self.trblk is None:
+                self.trblk = self.get_trblk(self.tbsize)
+            active_idx.append(i)
+            rvs.append(rv)
+            trblks.append(self.trblk)
+            dmrs_vals.append(self._dmrs_values(slot))
+        if not active_idx:
+            return jnp.zeros((s_dim, n_ant, 14, n_sc), jnp.complex64)
+
+        G = self.qm * n_layers * n_data_re
+        trb = jnp.asarray(np.stack(trblks))              # (Sa, A)
+        uniq = sorted(set(rvs))
+        if len(uniq) == 1:
+            g_seq = dlsch_encode(trb, self.tbsize, self.qm, self.rate1024,
+                                 n_layers, uniq[0], self.tbs_lbrm, G)
+        else:
+            # HARQ-style rv cycling: encode per rv group, reassemble in
+            # slot order (leading-axis set of contiguous rows)
+            g_seq = jnp.zeros((len(rvs), G), jnp.int8)
+            for rv in uniq:
+                idx = [k for k, v in enumerate(rvs) if v == rv]
+                gk = dlsch_encode(trb[np.asarray(idx)], self.tbsize,
+                                  self.qm, self.rate1024, n_layers, rv,
+                                  self.tbs_lbrm, G)
+                g_seq = g_seq.at[np.asarray(idx)].set(gk.astype(jnp.int8))
+        cinit = cfg["rnti"] * (2 ** 15) + cfg["nID"]
+        scr = jnp.asarray(gen_prbs_np(cinit, G))
+        precoded = pdsch_symbol_encode(
+            g_seq, scr, to_device(self.precoding), self.qm, n_layers,
+            n_ant, cinit, G)                             # (Sa, ant, n_re)
+        dmrs_dev = to_device(np.stack(dmrs_vals))        # (Sa, nd, ant, rb12)
+        grid = _pdsch_compose_grid(precoded, dmrs_dev, layout)
+        if len(active_idx) != s_dim:
+            grid = jnp.zeros((s_dim, n_ant, 14, n_sc), jnp.complex64) \
+                .at[np.asarray(active_idx)].set(grid)
+        return grid
 
     def _dmrs_process(self, fd_slot, usage, slot):
         cfg, dmrs = self.cfg, self.cfg["DMRS"]
@@ -271,6 +452,7 @@ def _attach_rx_methods():
     Pdsch.H_LS_est = pdsch_rx.PdschRxMixin.H_LS_est
     Pdsch.RX_process = pdsch_rx.PdschRxMixin.RX_process
     Pdsch.rx_process_batch = pdsch_rx.PdschRxMixin.rx_process_batch
+    Pdsch.rx_batch_prepare = pdsch_rx.PdschRxMixin.rx_batch_prepare
 
 
 def get_dmrs_symlist(ld: int, add_pos: int) -> list[int]:

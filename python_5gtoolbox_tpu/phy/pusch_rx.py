@@ -356,7 +356,8 @@ def _batch_ul_rx_fn(key: tuple):
     from python_5gtoolbox_tpu.rx.batch_core import build_batch_rx_core
 
     (rb_start, rb_size, ssi, nsym, ports, nl, ncdm, add_pos, scs, n_sc,
-     nr, qm, tbsize, rate1024, rv, algo, ldpc_key, ce_key) = key
+     nr, qm, tbsize, rate1024, rv, algo, ldpc_key, ce_key, harq,
+     tp) = key
     ldpc_cfg = dict(zip(("L", "algo", "alpha", "beta"), ldpc_key))
     ce_config = dict(ce_key)
     symlist = pusch_dmrs_symlist(ssi + nsym, add_pos)
@@ -366,7 +367,8 @@ def _batch_ul_rx_fn(key: tuple):
         ports=ports, nl=nl, ncdm=ncdm, scs=scs, n_sc=n_sc, nr=nr, qm=qm,
         tbsize=tbsize, rate1024=rate1024, tbs_lbrm=None, rv=rv,
         algo=algo, ldpc_cfg=ldpc_cfg, ce_config=ce_config,
-        symlist=symlist, scaling=scaling)
+        symlist=symlist, scaling=scaling, harq=harq,
+        transform_precode=tp)
     return fn, G, symlist
 
 
@@ -380,16 +382,31 @@ class PuschRxMixin:
         return h_ls, info
 
     def rx_process_batch(self, rx_fd_slots, slot_list, CEQ_config,
-                         LDPC_decoder_config, ce_config):
+                         LDPC_decoder_config, ce_config, fetch=True,
+                         rv=None, llr_prev=None, return_llr=False):
         """Slot-batched ULSCH RX (see PdschRxMixin.rx_process_batch).
 
-        Requires CP-OFDM (nTransPrecode 0) and no UCI on PUSCH — the
-        sweep-sim shape; other configs use the per-slot RX_process.
-        -> (ok (S,) bool, tbblk (S, A) int8)."""
+        Covers CP-OFDM and (since r5) DFT-s-OFDM transform precoding —
+        TP configs need 1 layer, NumCDM=2 and a linear equalizer
+        (ZF/MMSE[-IRC]); the batched IDFT de-precode runs inside the
+        traced core (reference branch
+        py5gphy/nr_pusch/nr_pusch_process.py:39-54). UCI-multiplexing
+        configs use the per-slot RX_process.
+        -> (ok (S,) bool, tbblk (S, A) int8). fetch=False returns
+        device arrays without synchronizing (software-pipelined sweeps
+        overlap the next point's TX staging with this decode).
+        rv/llr_prev/return_llr chain HARQ retransmissions like the DL
+        side (return becomes (ok, tbblk, llr_dns))."""
         from python_5gtoolbox_tpu.utils.host import to_device
 
         cfg = self.cfg
-        assert cfg["nTransPrecode"] == 0, "batched RX is CP-OFDM only"
+        tp = cfg["nTransPrecode"] == 1
+        if tp:
+            assert cfg["num_of_layers"] == 1 \
+                and cfg["DMRS"]["NumCDMGroupsWithoutData"] == 2 \
+                and CEQ_config["algo"] in ("ZF", "ZF-IRC", "MMSE",
+                                           "MMSE-IRC"), \
+                "batched TP RX needs 1 layer, NumCDM=2, linear equalizer"
         assert not (cfg["EnableACK"] * cfg["NumACKBits"]
                     or cfg["EnableCSI1"] * cfg["NumCSI1Bits"]
                     or cfg["EnableCSI2"] * cfg["NumCSI2Bits"]), \
@@ -397,6 +414,8 @@ class PuschRxMixin:
         assert cfg["EnableULSCH"] == 1
         import jax
 
+        harq = return_llr or llr_prev is not None
+        rv_eff = cfg["rv"][0] if rv is None else int(rv)
         if not isinstance(rx_fd_slots, jax.Array):
             rx_fd_slots = np.asarray(rx_fd_slots)
         tbsize, qm, rate1024 = tbs_mod.ulsch_tbsize(cfg)
@@ -415,7 +434,7 @@ class PuschRxMixin:
                cfg["DMRS"]["DMRSAddPos"], self.carrier["scs"],
                12 * self.prb_size,
                rx_fd_slots.shape[1], qm, tbsize, rate1024,
-               cfg["rv"][0], CEQ_config["algo"], ldpc_key, ce_key)
+               rv_eff, CEQ_config["algo"], ldpc_key, ce_key, harq, tp)
         fn, G, symlist = _batch_ul_rx_fn(key)
 
         dmrs = cfg["DMRS"]
@@ -424,11 +443,20 @@ class PuschRxMixin:
         nid = int(tpd["NID0"] if n_scid == 0 else tpd["NID1"])
         rb_start = cfg["ResAlloType1"]["RBStart"]
         rb_size = cfg["ResAlloType1"]["RBSize"]
-        seqs = np.stack([
-            np.stack([_dmrs_seq_no_tp(n_scid, nid, rb_start * 6,
-                                      rb_size * 6, int(slot), sym)
-                      for sym in symlist])
-            for slot in slot_list])
+        if tp:
+            tpe = dmrs["transformPrecodingEnabled"]
+            seqs = np.stack([
+                np.stack([_dmrs_seq_tp(tpe["nPuschID"],
+                                       tpe["groupOrSequenceHopping"],
+                                       rb_size * 6, int(slot), sym)
+                          for sym in symlist])
+                for slot in slot_list])
+        else:
+            seqs = np.stack([
+                np.stack([_dmrs_seq_no_tp(n_scid, nid, rb_start * 6,
+                                          rb_size * 6, int(slot), sym)
+                          for sym in symlist])
+                for slot in slot_list])
         cinit = cfg["rnti"] * (2 ** 15) + cfg["nNid"]
         scr_sign = (1.0 - 2.0 * gen_prbs_np(cinit, G)).astype(np.float32)
 
@@ -440,10 +468,21 @@ class PuschRxMixin:
             rx_planes = to_device(np.stack(
                 [rx_fd_slots.real, rx_fd_slots.imag]).astype(np.float32))
         dmrs_planes = np.stack([seqs.real, seqs.imag]).astype(np.float32)
+        if harq:
+            prev = None if llr_prev is None else jnp.asarray(llr_prev)
+            err, tbblk, llr_dns = fn(rx_planes, to_device(dmrs_planes),
+                                     to_device(scr_sign), prev)
+            ok = err == 0
+            if not fetch:
+                return ok, tbblk, llr_dns
+            return (np.asarray(ok), np.asarray(tbblk).astype(np.int8),
+                    llr_dns)
         err, tbblk = fn(rx_planes, to_device(dmrs_planes),
                         to_device(scr_sign))
-        ok = np.asarray(err) == 0
-        return ok, np.asarray(tbblk).astype(np.int8)
+        ok = err == 0           # device-side compare; stays async
+        if not fetch:
+            return ok, tbblk
+        return np.asarray(ok), np.asarray(tbblk).astype(np.int8)
 
     def RX_process(self, rx_fd_slot, slot, CEQ_config, H_result, cov_m,
                    LDPC_decoder_config, nrChannelEstimation=None,

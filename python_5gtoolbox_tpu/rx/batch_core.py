@@ -65,10 +65,30 @@ def sch_decode_plan(tbsize: int, rate1024: float, G: int, qm: int,
 def build_batch_rx_core(*, rb_start, rb_size, ssi, nsym, ports, nl,
                         ncdm, scs, n_sc, nr, qm, tbsize, rate1024,
                         tbs_lbrm, rv, algo, ldpc_cfg, ce_config,
-                        symlist, scaling):
-    """-> (jitted core(rx_planes, dmrs_planes, scr_sign) ->
-    (err (S,) int8, tbblk (S, A) bits), G)."""
+                        symlist, scaling, harq=False,
+                        transform_precode=False):
+    """-> (jitted core(rx_planes, dmrs_planes, scr_sign[, llr_prev]) ->
+    (err (S,) int8, tbblk (S, A) bits[, llr_dns (S, C, N)]), G).
+
+    harq=True adds the retransmission-chain surface (VERDICT r4 item
+    3): an optional llr_prev (S, C, N) buffer is soft-combined with
+    this transmission's rate-recovered LLRs before decode (same
+    where-both-nonzero averaging as the per-slot dlsch_decode,
+    phy/pdsch_rx.py:137-140; reference chain
+    py5gphy/nr_pdsch/nr_dlsch_decode.py:72-88), and the combined
+    buffer is returned so the caller can chain rv-cycled sweeps with
+    the LLR state device-resident."""
     modtype = _MODTYPE[qm]
+    if transform_precode:
+        # DFT-s-OFDM de-precode (reference branch
+        # py5gphy/nr_pusch/nr_pusch.py:116-216 /
+        # nr_pusch_process.py:39-54): whole-symbol DFT blocks require
+        # single-layer, no data on DMRS symbols, and a linear equalizer
+        # that yields per-RE symbol estimates
+        assert nl == 1 and ncdm == 2, \
+            "transform precoding needs 1 layer and NumCDM=2"
+        assert algo in ("ZF", "ZF-IRC", "MMSE", "MMSE-IRC"), \
+            f"transform precoding needs a linear equalizer, got {algo}"
     dmrs_data_idx, G = data_re_layout(ports, nl, ncdm, rb_size, ssi,
                                       nsym, symlist, qm)
     tb_poly, B, bgn, info, ncb, er_list = sch_decode_plan(
@@ -77,7 +97,7 @@ def build_batch_rx_core(*, rb_start, rb_size, ssi, nsym, ports, nl,
                    NumCDMGroupsWithoutData=ncdm, scs=scs)
     A = tbsize
 
-    def core(rx_planes, dmrs_planes, scr_sign):
+    def core(rx_planes, dmrs_planes, scr_sign, llr_prev=None):
         fd = jax.lax.complex(rx_planes[0], rx_planes[1])  # (S, Nr, 14*nsc)
         dm = jax.lax.complex(dmrs_planes[0], dmrs_planes[1])
         s = fd.shape[0]
@@ -132,9 +152,24 @@ def build_batch_rx_core(*, rb_start, rb_size, ssi, nsym, ports, nl,
         cv = jnp.concatenate(cvs, axis=1)
         n_re = y.shape[1]
 
-        llr = equalize_and_demod_traced(
-            y.reshape(s * n_re, nr), h.reshape(s * n_re, nr, nl),
-            cv.reshape(s * n_re, nr, nr), modtype, algo)
+        if transform_precode:
+            from python_5gtoolbox_tpu.rx.demod import demodulate
+            from python_5gtoolbox_tpu.rx.equalize import mmse, zf
+
+            fn_eq = zf if algo.startswith("ZF") else mmse
+            s_est, nv = fn_eq(y.reshape(s * n_re, nr),
+                              h.reshape(s * n_re, nr, nl),
+                              cv.reshape(s * n_re, nr, nr),
+                              irc=algo.endswith("IRC"))
+            m_sc = rb_size * 12
+            s_mat = s_est.reshape(s, n_re // m_sc, m_sc)
+            yi = jnp.fft.ifft(s_mat, axis=-1) * np.sqrt(m_sc)
+            _, llr = demodulate(yi.reshape(-1), modtype,
+                                nv.reshape(-1))
+        else:
+            llr = equalize_and_demod_traced(
+                y.reshape(s * n_re, nr), h.reshape(s * n_re, nr, nl),
+                cv.reshape(s * n_re, nr, nr), modtype, algo)
         llr = llr.reshape(s, G) * scr_sign[None, :]
 
         # ---- de-rate-match (Er groups) -> (S, C, N)
@@ -156,6 +191,11 @@ def build_batch_rx_core(*, rb_start, rb_size, ssi, nsym, ports, nl,
             c0 = c1
         llr_dns = jnp.concatenate(grps, axis=1)           # (S, C, N)
 
+        if llr_prev is not None:
+            both = (llr_dns != 0) & (llr_prev != 0)
+            comb = llr_dns + llr_prev
+            llr_dns = jnp.where(both, comb / 2, comb).astype(jnp.float32)
+
         bits, _, _ = ldpc_ops.ldpc_decode(
             llr_dns.reshape(s * info.C, info.N), info.Zc, bgn,
             ldpc_cfg["L"], algo=ldpc_cfg["algo"], alpha=ldpc_cfg["alpha"],
@@ -166,6 +206,8 @@ def build_batch_rx_core(*, rb_start, rb_size, ssi, nsym, ports, nl,
             else bits[:, :, : k_apo]
         tbblkandcrc = cb_bits.reshape(s, -1)[:, :B]
         err = crc_ops.crc_check(tbblkandcrc, tb_poly)
+        if harq:
+            return err, tbblkandcrc[:, :A], llr_dns
         return err, tbblkandcrc[:, :A]
 
     return jax.jit(core), G

@@ -257,7 +257,11 @@ def _cov_estimate(h_ls, h_est, rd, n_cdm, rs_map):
     per = (12 // rd) * n_rb_cov
     n_blocks = re_num // per
     residual = re_num - n_blocks * per
-    if residual:
+    if residual and n_blocks >= 1:
+        # merge the last full block into the residual for more averaging;
+        # for sub-16-PRB allocations (n_blocks == 0) the residual IS the
+        # whole allocation — decrementing would make the PRB axis
+        # total_prbs+16 (ADVICE r4 finding 1)
         n_blocks -= 1
         residual += per
     total_prbs = re_num * rd // 12

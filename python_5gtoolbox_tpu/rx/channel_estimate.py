@@ -319,9 +319,13 @@ def _cov_estimate(H_LS, h_est, rd, n_cdm, rs_map):
     per = (12 // rd) * n_rb_cov
     n_blocks = re_num // per
     residual = re_num - n_blocks * per
-    if residual:
+    if residual and n_blocks >= 1:
         n_blocks -= 1
         residual += per
+    # sub-16-PRB allocations keep n_blocks == 0 with residual == re_num;
+    # the reference (dft_dct_CE.py:204-206) would decrement to -1 and
+    # then IndexError in its residual loop — behavior is defined here
+    # instead: one covariance block averaged over the whole allocation
     total_prbs = re_num * rd // 12
     cov = np.zeros((sym_num, total_prbs, nr, nr), np.complex64)
     for m in range(sym_num):

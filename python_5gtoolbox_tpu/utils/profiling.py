@@ -67,6 +67,39 @@ class StageProfiler:
     def reset(self) -> None:
         self.stats.clear()
 
+    # stages that dispatch once per slot (the "latency" profile shape);
+    # on the tunneled accelerator each such dispatch costs ~0.65 ms of
+    # pure round-trip, so a long per-slot loop there is a misroute
+    PER_SLOT_STAGES = ("rx_process[", "channel_est")
+
+    def check_dispatch_routing(self, limit: int = 32,
+                               backend: str | None = None) -> list:
+        """Warn when per-slot stages ran >limit times on an accelerator
+        backend (platform-routing guard, VERDICT r4 item 9: per-slot
+        paths belong on the "latency" CPU profile —
+        utils/platform.select_platform). Returns the offender list
+        [(stage, calls), ...]; emits a warnings.warn for each.
+        """
+        import warnings
+
+        if backend is None:
+            import jax
+
+            backend = jax.default_backend()
+        if backend == "cpu":
+            return []
+        offenders = [(n, s.calls) for n, s in self.stats.items()
+                     if any(n.startswith(p) for p in self.PER_SLOT_STAGES)
+                     and s.calls > limit]
+        for name, calls in offenders:
+            warnings.warn(
+                f"per-slot stage '{name}' dispatched {calls} times on "
+                f"the '{backend}' backend (> {limit}); this path is "
+                f"latency-profile work — route it through "
+                f"select_platform('latency') or the batched RX",
+                RuntimeWarning, stacklevel=2)
+        return offenders
+
 
 @contextlib.contextmanager
 def xla_trace(logdir: str):

@@ -54,38 +54,55 @@ def gen_dl_waveform(waveform_config: dict, carrier_config: dict,
     n_sc = 12 * prb
     slots_per_frame = num.slots_per_frame(scs)
 
-    grids = np.zeros((n_slots, nant, 14 * n_sc), np.complex64)
-    usages = np.zeros((n_slots, nant, 14 * n_sc), np.int8)
-    # the per-slot encode jits are LATENCY work (small shapes, host
-    # grid writes after each) — pin them to the host CPU backend so an
-    # accelerated process doesn't pay a tunnel round trip per slot; the
-    # throughput stages below (OFDM/DUC over all slots) stay on the
-    # default (accelerator) device
-    with jax.default_device(jax.devices("cpu")[0]):
-        for idx in range(n_slots):
-            sfn = start_sfn + (start_slot + idx) // slots_per_frame
-            slot = (start_slot + idx) % slots_per_frame
-            fd, use = grids[idx], usages[idx]
-            for ch in nrSSB_list:
-                fd, use = ch.process(fd, use, sfn, slot)
-            for ch in nrCSIRS_list:
-                fd, use = ch.process(fd, use, sfn, slot)
-            for ch in nrPDCCH_list:
-                fd, use = ch.process(fd, use, sfn, slot)
-            for ch in nrPdsch_list:
-                fd, use = ch.process(fd, use, slot)
-            grids[idx], usages[idx] = fd, use
+    # Fast path (VERDICT r4 item 1): a single batch-capable PDSCH and no
+    # other channels — the common link-level-sim shape — encodes and
+    # composes ALL slot grids on the device in one traced program
+    # (Pdsch.tx_grid_batch); the reference-shaped per-slot host loop
+    # below is kept for multi-channel waveforms (test models, SSB, ...).
+    grids = None
+    if (len(nrPdsch_list) == 1 and not nrSSB_list and not nrCSIRS_list
+            and not nrPDCCH_list and nrPdsch_list[0].tx_batch_supported()):
+        slots = [(start_slot + idx) % slots_per_frame
+                 for idx in range(n_slots)]
+        fd_dev = nrPdsch_list[0].tx_grid_batch(slots)
+    else:
+        grids = np.zeros((n_slots, nant, 14 * n_sc), np.complex64)
+        usages = np.zeros((n_slots, nant, 14 * n_sc), np.int8)
+        # the per-slot encode jits are LATENCY work (small shapes, host
+        # grid writes after each) — pin them to the host CPU backend so an
+        # accelerated process doesn't pay a tunnel round trip per slot; the
+        # throughput stages below (OFDM/DUC over all slots) stay on the
+        # default (accelerator) device
+        with jax.default_device(jax.devices("cpu")[0]):
+            for idx in range(n_slots):
+                sfn = start_sfn + (start_slot + idx) // slots_per_frame
+                slot = (start_slot + idx) % slots_per_frame
+                fd, use = grids[idx], usages[idx]
+                for ch in nrSSB_list:
+                    fd, use = ch.process(fd, use, sfn, slot)
+                for ch in nrCSIRS_list:
+                    fd, use = ch.process(fd, use, sfn, slot)
+                for ch in nrPDCCH_list:
+                    fd, use = ch.process(fd, use, sfn, slot)
+                for ch in nrPdsch_list:
+                    fd, use = ch.process(fd, use, slot)
+                grids[idx], usages[idx] = fd, use
+        fd_dev = to_device(grids.reshape(n_slots, nant, 14, n_sc))
 
-    fd_batched = grids.reshape(n_slots, nant, 14, n_sc)
     td = ofdm.tx_low_phy(
-        to_device(fd_batched), scs, bw, fc_hz,
+        fd_dev, scs, bw, fc_hz,
         dm=None if Dm is None or len(Dm) == 0 else jnp.asarray(Dm))
     td = td * to_device(_slot_phase(scs, fc_hz, n_slots))[:, None, None]
     # (S, ant, T) -> (ant, S*T)
     td_flat = jnp.swapaxes(td, 0, 1).reshape(nant, -1)
     dl = filters.tx_channel_filter(td_flat, scs, bw, out_rate_hz)
 
-    fd_waveform = grids.transpose(1, 0, 2).reshape(nant, -1)
+    if grids is not None:
+        fd_waveform = grids.transpose(1, 0, 2).reshape(nant, -1)
+    else:
+        fd_waveform = jnp.swapaxes(fd_dev, 0, 1).reshape(nant, -1)
+        if not return_device:
+            fd_waveform = to_host(fd_waveform)
     nfft = num.fft_size(prb)
     if return_device:
         return fd_waveform, td_flat, dl, nfft * scs * 1000

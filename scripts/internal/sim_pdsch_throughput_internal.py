@@ -207,5 +207,9 @@ def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
             print(f"PDSCH snr={snr:+.1f}dB {algo}: "
                   f"{npass}/{ntot} TB passed")
     fetch_pending()
+    if prof is not None and hasattr(prof, "check_dispatch_routing"):
+        # platform-routing guard: a long per-slot RX loop on the
+        # tunneled accelerator is a misroute (VERDICT r4 item 9)
+        prof.check_dispatch_routing()
     results["tbs_bits"] = nr_pdsch.tbsize
     return results

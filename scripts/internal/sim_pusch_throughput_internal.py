@@ -20,14 +20,26 @@ from scripts.internal.sim_pdsch_throughput_internal import (
     DEFAULT_CE_CONFIG, DEFAULT_LDPC_CONFIG)
 
 
-def can_batch_pusch_rx(pusch_config: dict) -> bool:
-    """True when the slot-batched ULSCH RX covers this config (CP-OFDM,
-    ULSCH only, no UCI multiplexing; see PuschRxMixin.rx_process_batch)."""
+def can_batch_pusch_rx(pusch_config: dict, algos=None) -> bool:
+    """True when the slot-batched ULSCH RX covers this config: ULSCH
+    only (no UCI multiplexing), CP-OFDM or — since r5 — DFT-s-OFDM
+    transform precoding (1 layer, NumCDM=2, linear equalizers only;
+    see PuschRxMixin.rx_process_batch)."""
     cfg = pusch_config
-    return (cfg["nTransPrecode"] == 0 and cfg["EnableULSCH"] == 1
+    if not (cfg["EnableULSCH"] == 1
             and not (cfg["EnableACK"] * cfg["NumACKBits"]
                      or cfg["EnableCSI1"] * cfg["NumCSI1Bits"]
-                     or cfg["EnableCSI2"] * cfg["NumCSI2Bits"]))
+                     or cfg["EnableCSI2"] * cfg["NumCSI2Bits"])):
+        return False
+    if cfg["nTransPrecode"] == 1:
+        if not (cfg["num_of_layers"] == 1
+                and cfg["DMRS"]["NumCDMGroupsWithoutData"] == 2):
+            return False
+        if algos is not None and any(
+                a not in ("ZF", "ZF-IRC", "MMSE", "MMSE-IRC")
+                for a in algos):
+            return False
+    return True
 
 
 def pusch_before_ceq_processing(carrier_config, pusch_config, chan_cfg,
@@ -82,14 +94,25 @@ def pusch_before_ceq_processing(carrier_config, pusch_config, chan_cfg,
 def run_pusch_throughput(carrier_config, pusch_config, chan_cfg,
                          snr_db_list, ceq_algo_list, n_slots=2,
                          ce_config=None, ldpc_config=None, seed=0,
-                         decode_uci=False, use_batch=None):
+                         decode_uci=False, use_batch=None, prof=None):
     """-> dict algo -> [TB pass-rate per SNR] (+ 'tbs_bits').
 
     use_batch None (default) auto-selects the slot-batched one-dispatch
     RX when the config supports it (can_batch_pusch_rx) and no UCI
     decode was requested; the per-slot path remains for transform
-    precoding / UCI / HARQ studies.
+    precoding / UCI / HARQ studies. The batched path is
+    software-pipelined like the PDSCH sweep (VERDICT r4 item 7):
+    decodes dispatch with fetch=False so the device works on SNR i
+    while the host stages SNR i+1's TX/channel.
     """
+    import contextlib
+
+    class _Null:
+        @contextlib.contextmanager
+        def stage(self, name, items=0.0, unit="items"):
+            yield
+
+    prof_ = prof or _Null()
     ldpc_config = dict(DEFAULT_LDPC_CONFIG, **(ldpc_config or {}))
     ce_cfg_full = dict(DEFAULT_CE_CONFIG, **(ce_config or {}))
     fm = float(chan_cfg.get("fm_inHz", 0) or 0)
@@ -98,13 +121,30 @@ def run_pusch_throughput(carrier_config, pusch_config, chan_cfg,
         ce_cfg_full["enable_FO_est"] = False
         ce_cfg_full["enable_FO_comp"] = False
     if use_batch is None:
-        use_batch = can_batch_pusch_rx(pusch_config) and not decode_uci
+        use_batch = can_batch_pusch_rx(pusch_config, ceq_algo_list) \
+            and not decode_uci
     results = {algo: [] for algo in ceq_algo_list}
+    pending = None   # (snr, ntot, {algo: device ok flags}) to fetch late
+
+    def fetch_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        snr_p, ntot, oks = pending
+        pending = None
+        for algo, ok in oks.items():
+            npass = int(np.sum(np.asarray(ok)))
+            results[algo].append(npass / max(ntot, 1))
+            print(f"PUSCH snr={snr_p:+.1f}dB {algo}: "
+                  f"{npass}/{ntot} TB passed")
+
     for i_snr, snr in enumerate(snr_db_list):
         # fresh channel trajectory per SNR point (see PDSCH internal)
-        nr_pusch, slots = pusch_before_ceq_processing(
-            carrier_config, pusch_config, chan_cfg, -snr, n_slots,
-            seed + 7919 * i_snr, ce_config, do_ce=not use_batch)
+        with prof_.stage("tx_channel_staging", items=n_slots,
+                         unit="slots"):
+            nr_pusch, slots = pusch_before_ceq_processing(
+                carrier_config, pusch_config, chan_cfg, -snr, n_slots,
+                seed + 7919 * i_snr, ce_config, do_ce=not use_batch)
         if use_batch:
             import jax
             import jax.numpy as jnp
@@ -112,6 +152,7 @@ def run_pusch_throughput(carrier_config, pusch_config, chan_cfg,
                      if (slot % pusch_config["period_in_slot"])
                      in pusch_config["allocated_slots"]]
             if not alloc:
+                fetch_pending()
                 for algo in ceq_algo_list:
                     results[algo].append(0.0)
                     print(f"PUSCH snr={snr:+.1f}dB {algo}: 0/0 TB passed")
@@ -119,25 +160,37 @@ def run_pusch_throughput(carrier_config, pusch_config, chan_cfg,
             xp = jnp if isinstance(alloc[0][0], jax.Array) else np
             rx_stack = xp.stack([a[0] for a in alloc])
             slot_nums = [a[1] for a in alloc]
+            oks = {}
+            nr_pusch.rvidx = -1
+            for algo in ceq_algo_list:
+                with prof_.stage(f"rx_batch[{algo}]", items=len(alloc),
+                                 unit="slots"):
+                    ok, _ = nr_pusch.rx_process_batch(
+                        rx_stack, slot_nums, {"algo": algo}, ldpc_config,
+                        ce_cfg_full, fetch=False)
+                oks[algo] = ok
+            fetch_pending()
+            pending = (snr, len(alloc), oks)
+            continue
         for algo in ceq_algo_list:
             npass = ntot = 0
             nr_pusch.rvidx = -1
-            if use_batch:
-                ok, _ = nr_pusch.rx_process_batch(
-                    rx_stack, slot_nums, {"algo": algo}, ldpc_config,
-                    ce_cfg_full)
-                npass, ntot = int(np.sum(ok)), len(alloc)
-            else:
-                for rx_slot, H, cov, est, slot in slots:
-                    if H is None:
-                        continue
+            for rx_slot, H, cov, est, slot in slots:
+                if H is None:
+                    continue
+                with prof_.stage(f"rx_process[{algo}]", items=1,
+                                 unit="slots"):
                     ok, tbblk, _, _ = nr_pusch.RX_process(
                         rx_slot, slot, {"algo": algo}, H, cov,
                         ldpc_config, est, decode_uci=decode_uci)
-                    npass += int(ok)
-                    ntot += 1
+                npass += int(ok)
+                ntot += 1
             results[algo].append(npass / max(ntot, 1))
             print(f"PUSCH snr={snr:+.1f}dB {algo}: "
                   f"{npass}/{ntot} TB passed")
+    fetch_pending()
+    if prof is not None and hasattr(prof, "check_dispatch_routing"):
+        # platform-routing guard (VERDICT r4 item 9)
+        prof.check_dispatch_routing()
     results["tbs_bits"] = nr_pusch.tbsize
     return results

@@ -71,3 +71,35 @@ def test_pusch_batch_matches_per_slot():
     r_batch = pusim.run_pusch_throughput(carrier, pusch, _chan(2, 4),
                                          use_batch=True, **kw)
     assert r_slot["MMSE-IRC"] == r_batch["MMSE-IRC"]
+
+
+@pytest.mark.parametrize("mcs_kw", [
+    dict(mcs_table="MCStable61411", mcs_index=0, nTpPi2BPSK=1),  # pi/2-BPSK
+    dict(mcs_table="MCStable61411", mcs_index=2, nTpPi2BPSK=0),  # QPSK
+], ids=["pi2bpsk", "qpsk"])
+def test_pusch_batch_transform_precoding(mcs_kw):
+    """DFT-s-OFDM transform-precoded sweep: batched IDFT-de-precode RX
+    == per-slot RX_process (VERDICT r4 item 3)."""
+    carrier = merged(get_default_config("ul_carrier"),
+                     dict(BW=10, scs=30, num_of_ant=1, Nr=2,
+                          maxMIMO_layers=1, PCI=1,
+                          carrier_frequency_in_mhz=3840.0))
+    pusch = merged(get_default_config("pusch"),
+                   dict(num_of_layers=1, rv=[0], data_source=[],
+                        StartSymbolIndex=0, NrOfSymbols=14,
+                        nTransPrecode=1, EnableULSCH=1, EnableACK=0,
+                        EnableCSI1=0, EnableCSI2=0, PortIndexList=[1000],
+                        nNrOfAntennaPorts=1, nPMI=0, **mcs_kw))
+    pusch["ResAlloType1"].update(RBStart=0, RBSize=12)   # 12 = 2^2*3 ok
+    pusch["DMRS"].update(NumCDMGroupsWithoutData=2, DMRSAddPos=1)
+    assert pusim.can_batch_pusch_rx(pusch, ["MMSE-IRC"])
+    assert not pusim.can_batch_pusch_rx(pusch, ["ML-soft"])
+    kw = dict(snr_db_list=[3.0], ceq_algo_list=["MMSE-IRC"], n_slots=4,
+              ce_config=dict(CE), ldpc_config=dict(LDPC), seed=13)
+    r_slot = pusim.run_pusch_throughput(carrier, pusch, _chan(1, 2),
+                                        use_batch=False, **kw)
+    r_batch = pusim.run_pusch_throughput(carrier, pusch, _chan(1, 2),
+                                         use_batch=True, **kw)
+    assert r_slot["MMSE-IRC"] == r_batch["MMSE-IRC"]
+    # the operating point must discriminate (decodes at this SNR)
+    assert r_batch["MMSE-IRC"][0] > 0.0

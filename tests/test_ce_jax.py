@@ -71,6 +71,30 @@ def test_matches_numpy_class(case):
                 < 1e-2 + 1e-3 * abs(est.FO_est)
 
 
+def test_small_allocation_cov_shape():
+    """Sub-16-PRB allocation (ADVICE r4 finding 1): the covariance PRB
+    axis must be exactly total_prbs, matching the NumPy CE, not
+    total_prbs+16 from a negative block count."""
+    rng = np.random.default_rng(3)
+    s, n_sym, re_num, nr, nt = 2, 2, 36, 4, 2        # 12 PRB < 16-PRB block
+    rs_map = [2, 11]
+    h_ls = _mk_hls(rng, s, n_sym, re_num, nr, nt, to_s=1e-7)
+    rs_info = dict(RSSymMap=rs_map, RE_distance=4,
+                   NumCDMGroupsWithoutData=1, scs=30)
+    ce_cfg = dict(CE_algo="DFT_symmetric", L_symm_left_in_ns=1400,
+                  L_symm_right_in_ns=1200, eRB=4, enable_TO_comp=True,
+                  enable_FO_est=False, enable_FO_comp=False)
+    out = jax.jit(
+        lambda h: ce_jax.channel_est_batch(h, rs_info, dict(ce_cfg))
+    )(jnp.asarray(h_ls))
+    cov_b = np.asarray(out["cov"])
+    est = NrChannelEstimation(h_ls[0].copy(), dict(rs_info), dict(ce_cfg))
+    H_ref, cov_ref = est.channel_est()
+    assert cov_b.shape[1:] == cov_ref.shape, (cov_b.shape, cov_ref.shape)
+    cscale = max(np.abs(cov_ref).max(), 1e-9)
+    assert np.abs(cov_b[0] - cov_ref).max() < 5e-3 * cscale
+
+
 def test_comp_data_matches_numpy():
     rng = np.random.default_rng(5)
     s, n_sym, re_num, nr, nt = 2, 2, 60, 2, 2

@@ -81,3 +81,29 @@ def test_batch_tile_vmem_budget():
         for bgn in (1, 2):
             bt = batch_tile(zc, bgn)
             assert bt >= 8 and bt % 8 == 0
+
+
+def test_pallas_fast_semantics_decodes():
+    """Opt-in relaxed check node (semantics="fast", VERDICT r4 item 5):
+    not bit-identical to the reference, but it must decode clean-ish
+    codewords and agree with exact semantics on the easy ensemble."""
+    zc, bgn = 16, 2
+    rng = np.random.default_rng(5)
+    K = 10 * zc
+    bits = rng.integers(0, 2, size=(12, K)).astype(np.int8)
+    dn = np.array(ldpc_encode(jnp.asarray(bits), bgn))
+    sigma2 = 10 ** (-3.5 / 10)
+    llr = ((2 / sigma2) * (1 - 2.0 * dn
+                           + rng.normal(size=dn.shape) * np.sqrt(sigma2))
+           ).astype(np.float32)
+    bf, okf, _ = ldpc_decode_pallas(jnp.asarray(llr), zc, bgn, 8,
+                                    0.8, 0.3, interpret=True,
+                                    semantics="fast")
+    okf = np.asarray(okf)
+    assert okf.mean() >= 0.9            # decodes at 3.5 dB
+    assert np.array_equal(np.asarray(bf)[okf], bits[okf])
+    # default stays exact: the bit-pinned tests above guard it, and the
+    # jax backend refuses the option
+    with pytest.raises(ValueError):
+        ldpc_decode(jnp.asarray(llr), zc, bgn, 8, "min-sum",
+                    backend="jax", semantics="fast")

@@ -49,3 +49,38 @@ def test_unknown_profile_rejected():
     from python_5gtoolbox_tpu.utils.platform import select_platform
     with pytest.raises(AssertionError):
         select_platform("bogus")
+
+
+def test_dispatch_routing_guard():
+    """StageProfiler.check_dispatch_routing (VERDICT r4 item 9): a
+    per-slot stage with many calls on an accelerator backend warns;
+    the same stats on cpu, or batched stages anywhere, do not."""
+    import warnings
+
+    from python_5gtoolbox_tpu.utils.profiling import StageProfiler
+
+    prof = StageProfiler()
+    for _ in range(40):
+        with prof.stage("rx_process[MMSE-IRC]", items=1, unit="slots"):
+            pass
+    with prof.stage("rx_batch[MMSE-IRC]", items=40, unit="slots"):
+        pass
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        offenders = prof.check_dispatch_routing(backend="tpu")
+    assert offenders == [("rx_process[MMSE-IRC]", 40)]
+    assert len(rec) == 1 and "latency" in str(rec[0].message)
+
+    # cpu backend: never an offence
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert prof.check_dispatch_routing(backend="cpu") == []
+    assert not rec
+
+    # under the limit: quiet
+    prof2 = StageProfiler()
+    for _ in range(8):
+        with prof2.stage("rx_process[ZF]", items=1, unit="slots"):
+            pass
+    assert prof2.check_dispatch_routing(backend="tpu") == []

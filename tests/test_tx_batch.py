@@ -1,0 +1,135 @@
+"""Slot-batched device TX (Pdsch.tx_grid_batch) == per-slot process().
+
+The batched TX (VERDICT r4 item 1) must reproduce the reference-shaped
+per-slot grid composition exactly — same DLSCH bits, same QAM values,
+same DMRS placement, same rv/trblk cycling — across DMRS/layout
+variants, with only the execution shape changed (one traced program
+over all slots vs. a host loop).
+"""
+import numpy as np
+import pytest
+
+from python_5gtoolbox_tpu.phy.pdsch import Pdsch
+from python_5gtoolbox_tpu.utils.config import get_default_config, merged
+from python_5gtoolbox_tpu.utils.numerology import carrier_prb_size
+
+
+def _carrier(nant=2, layers=2):
+    return merged(get_default_config("dl_carrier"),
+                  dict(BW=20, scs=30, num_of_ant=nant, Nr=2,
+                       maxMIMO_layers=layers, PCI=1,
+                       carrier_frequency_in_mhz=3840.0))
+
+
+def _pdsch(**kw):
+    cfg = merged(get_default_config("pdsch"),
+                 dict(mcs_index=5, mcs_table="256QAM", num_of_layers=2,
+                      rv=[0], data_source=[], StartSymbolIndex=2,
+                      NrOfSymbols=12))
+    cfg["ResAlloType1"].update(RBStart=0, RBSize=20)
+    cfg["DMRS"].update(nNIDnSCID=1, NumCDMGroupsWithoutData=1,
+                       DMRSAddPos=1)
+    cfg["precoding_matrix"] = np.empty(0)
+    for k, v in kw.items():
+        if k in ("DMRSAddPos", "NumCDMGroupsWithoutData", "nSCID"):
+            cfg["DMRS"][k] = v
+        elif k in ("RBStart", "RBSize"):
+            cfg["ResAlloType1"][k] = v
+        else:
+            cfg[k] = v
+    return cfg
+
+
+def _per_slot_grids(pdsch_cfg, carrier, slots, seed):
+    np.random.seed(seed)
+    p = Pdsch(dict(pdsch_cfg), carrier)
+    n_sc = 12 * carrier_prb_size(carrier["scs"], carrier["BW"])
+    nant = carrier["num_of_ant"]
+    grids = np.zeros((len(slots), nant, 14 * n_sc), np.complex64)
+    usages = np.zeros((len(slots), nant, 14 * n_sc), np.int8)
+    for i, slot in enumerate(slots):
+        grids[i], usages[i] = p.process(grids[i], usages[i], slot)
+    return grids.reshape(len(slots), nant, 14, n_sc)
+
+
+def _batch_grids(pdsch_cfg, carrier, slots, seed):
+    np.random.seed(seed)
+    p = Pdsch(dict(pdsch_cfg), carrier)
+    assert p.tx_batch_supported()
+    return np.asarray(p.tx_grid_batch(list(slots)))
+
+
+CASES = [
+    ("baseline", {}, {}),
+    ("addpos2_1layer", dict(num_of_layers=1, DMRSAddPos=2), {}),
+    ("cdm2", dict(NumCDMGroupsWithoutData=2), {}),
+    ("rbstart_offset", dict(RBStart=11, RBSize=17), {}),
+    # ports must start at 1000 (the reference indexes its per-PRB RE map
+    # by port-1000, nr_pdsch_dmrs.py:85 — ports [1002,1003] with 2
+    # layers crash there identically)
+    ("four_layers_cdm2",
+     dict(num_of_layers=4, PortIndexList=[1000, 1001, 1002, 1003],
+          NumCDMGroupsWithoutData=2, mcs_index=3),
+     dict(nant=4, layers=4)),
+    ("short_alloc", dict(StartSymbolIndex=2, NrOfSymbols=5,
+                         DMRSAddPos=0), {}),
+    ("explicit_precoding",
+     dict(num_of_layers=2,
+          precoding_matrix=(np.array([[1, 0], [0, 1], [1, 0], [0, -1]],
+                                     np.complex64) / np.sqrt(2))),
+     dict(nant=4, layers=2)),
+]
+
+
+@pytest.mark.parametrize("name,pd_kw,car_kw",
+                         CASES, ids=[c[0] for c in CASES])
+def test_tx_batch_matches_per_slot(name, pd_kw, car_kw):
+    carrier = _carrier(**car_kw)
+    cfg = _pdsch(**pd_kw)
+    slots = [0, 1, 2, 3]
+    ref = _per_slot_grids(cfg, carrier, slots, seed=1234)
+    got = _batch_grids(cfg, carrier, slots, seed=1234)
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)
+
+
+def test_tx_batch_rv_cycling_and_gating():
+    """rv=[0,2,3,1] HARQ cycling + slot gating: trblk is regenerated at
+    rvidx 0 and retransmitted with cycled rv; gated slots are zero."""
+    carrier = _carrier()
+    cfg = _pdsch(rv=[0, 2, 3, 1], period_in_slot=5,
+                 allocated_slots=[0, 1, 2, 3])
+    slots = list(range(10))       # slots 4 and 9 gated
+    ref = _per_slot_grids(cfg, carrier, slots, seed=77)
+    got = _batch_grids(cfg, carrier, slots, seed=77)
+    assert np.all(got[4] == 0) and np.all(got[9] == 0)
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)
+
+
+def test_tx_batch_in_gen_dl_waveform():
+    """gen_dl_waveform's fast path == the per-slot loop end to end."""
+    from python_5gtoolbox_tpu.waveform import dl as dl_wf
+
+    carrier = _carrier()
+    prb = carrier_prb_size(30, 20)
+    fs = 2 * 1000 * 30 * __import__(
+        "python_5gtoolbox_tpu.utils.numerology",
+        fromlist=["fft_size"]).fft_size(prb)
+    wf_cfg = dict(numofslots=3, startSFN=0, startslot=0,
+                  samplerate_in_mhz=fs / 1e6)
+    cfg = _pdsch(data_source=[1, 0, 1, 1])   # deterministic payload
+
+    p_fast = Pdsch(dict(cfg), carrier)
+    assert p_fast.tx_batch_supported()
+    fd_f, td_f, dl_f, _ = dl_wf.gen_dl_waveform(wf_cfg, carrier,
+                                                nrPdsch_list=[p_fast])
+
+    # force the host loop by monkeypatching support check
+    p_slow = Pdsch(dict(cfg), carrier)
+    p_slow.tx_batch_supported = lambda: False
+    fd_s, td_s, dl_s, _ = dl_wf.gen_dl_waveform(wf_cfg, carrier,
+                                                nrPdsch_list=[p_slow])
+    np.testing.assert_allclose(np.asarray(fd_f), fd_s, atol=2e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(td_f), np.asarray(td_s),
+                               atol=1e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(dl_f), np.asarray(dl_s),
+                               atol=1e-4, rtol=0)
