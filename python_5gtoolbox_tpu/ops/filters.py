@@ -283,11 +283,14 @@ def rx_channel_filter(rx: jnp.ndarray, scs: int, bw: int,
 
 @functools.partial(jax.jit, static_argnames=("scs", "bw",
                                              "carrier_freq_hz",
-                                             "out_rate_hz", "as_planes"))
+                                             "out_rate_hz", "as_planes",
+                                             "slot_phase", "start_slot"))
 def tx_lowphy_duc(fd_ant_major: jnp.ndarray, scs: int, bw: int,
                   carrier_freq_hz: int = 0,
                   out_rate_hz: float = 245.76e6,
-                  as_planes: bool = False) -> jnp.ndarray:
+                  as_planes: bool = False,
+                  slot_phase: bool = False,
+                  start_slot: int = 0) -> jnp.ndarray:
     """Full TX low-PHY + DUC: (ant, slots, 14, n_sc) frequency grids ->
     (ant, oversample * slots * slot_samples) waveform.
 
@@ -313,7 +316,9 @@ def tx_lowphy_duc(fd_ant_major: jnp.ndarray, scs: int, bw: int,
         from python_5gtoolbox_tpu.ops import pallas_filters as pf
         pad = pf.fused_pad_spec(t)
         planes = ofdm.tx_low_phy_planes(fd_ant_major, scs, bw,
-                                        carrier_freq_hz, pad=pad)
+                                        carrier_freq_hz, pad=pad,
+                                        slot_phase=slot_phase,
+                                        start_slot=start_slot)
         y = pf.fir_up2_fused_planes(planes, fir_coeff(scs, bw),
                                     halfband_coeff(), t)
         for _ in range(n_hb - 1):
@@ -323,6 +328,10 @@ def tx_lowphy_duc(fd_ant_major: jnp.ndarray, scs: int, bw: int,
         return jax.lax.complex(y[:nant], y[nant:]).astype(jnp.complex64)
     td = ofdm.tx_low_phy(fd_ant_major, scs, bw, carrier_freq_hz,
                          roll_ant=False)
+    if slot_phase:
+        ph = ofdm._slot_phase_const(scs, carrier_freq_hz, n_slots,
+                                    start_slot)
+        td = td * jnp.asarray(ph)[None, :, None]
     out = tx_channel_filter(td.reshape(nant, -1), scs, bw, out_rate_hz)
     if as_planes:
         return jnp.concatenate([jnp.real(out), jnp.imag(out)]

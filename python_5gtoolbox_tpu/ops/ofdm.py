@@ -115,13 +115,30 @@ def tx_low_phy(fd_slots: jnp.ndarray, scs: int, bw: int,
     return out.astype(jnp.complex64)
 
 
+@functools.lru_cache(maxsize=None)
+def _slot_phase_const(scs: int, carrier_freq_hz: int, n_slots: int,
+                      start_slot: int) -> np.ndarray:
+    """Per-slot phase compensation e^{-j2pi fc t_slot}
+    (nr_dl_waveform.py:91-100) as a trace-time constant."""
+    idx = start_slot + np.arange(n_slots)
+    if not carrier_freq_hz:
+        return np.ones(n_slots, np.complex64)
+    per_ms = carrier_freq_hz / 1e3
+    slot_ms = 1.0 if scs == 15 else 0.5
+    return np.exp(-1j * 2 * np.pi * per_ms * slot_ms * idx
+                  ).astype(np.complex64)
+
+
 @functools.partial(jax.jit, static_argnames=("scs", "bw",
                                              "carrier_freq_hz", "nfft",
-                                             "pad"))
+                                             "pad", "slot_phase",
+                                             "start_slot"))
 def tx_low_phy_planes(fd_slots: jnp.ndarray, scs: int, bw: int,
                       carrier_freq_hz: int = 0,
                       nfft: int | None = None,
-                      pad: tuple[int, int] = (0, 0)) -> jnp.ndarray:
+                      pad: tuple[int, int] = (0, 0),
+                      slot_phase: bool = False,
+                      start_slot: int = 0) -> jnp.ndarray:
     """Antenna-major planar tx_low_phy: (ant, slots, 14, n_sc) complex
     -> (2*ant, pad[0] + slots*slot_samples + pad[1]) float32 planes
     (real planes first).
@@ -138,6 +155,12 @@ def tx_low_phy_planes(fd_slots: jnp.ndarray, scs: int, bw: int,
     if nfft is None:
         nfft = num.fft_size(num.carrier_prb_size(scs, bw))
     x = fd_slots.astype(jnp.complex64)
+    if slot_phase:
+        # slot-level phase compensation folded pre-IFFT (linear), so
+        # the waveform layer's separate 63 MB multiply pass disappears
+        ph = _slot_phase_const(scs, carrier_freq_hz, fd_slots.shape[1],
+                               start_slot)
+        x = x * jnp.asarray(ph)[None, :, None, None]
     lo = (nfft - n_sc) // 2
     spec = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(lo, nfft - n_sc - lo)])
     td = jnp.fft.ifft(spec, axis=-1)

@@ -278,9 +278,11 @@ class Pdsch:
                   dmrs_syms, cdm, 1 - comb)
         return layout, n_data_re
 
-    def _dmrs_values(self, slot: int) -> np.ndarray:
+    def _dmrs_values(self, slot: int, precoding=None) -> np.ndarray:
         """Precoded DMRS vectors for one slot: (nd, ant, rb12) complex64
         (host; same math as _dmrs_process without the grid writes)."""
+        if precoding is None:
+            precoding = self.precoding
         cfg, dmrs = self.cfg, self.cfg["DMRS"]
         rb_start = cfg["ResAlloType1"]["RBStart"]
         rb_size = cfg["ResAlloType1"]["RBSize"]
@@ -291,7 +293,7 @@ class Pdsch:
         ports = cfg["PortIndexList"]
         scaling = (1.0 if dmrs["NumCDMGroupsWithoutData"] == 1
                    else 10 ** (-3 / 20))
-        out = np.zeros((len(symlist), self.precoding.shape[0],
+        out = np.zeros((len(symlist), precoding.shape[0],
                         rb_size * 12), np.complex64)
         for k, sym in enumerate(symlist):
             seq = pdsch_dmrs_seq(dmrs, rb_start, rb_size, slot, sym)
@@ -302,10 +304,10 @@ class Pdsch:
                 wf1 = 1 - (d0 % 2) * 2
                 data[m, 0 + delta::4] = scaling * seq[0::2]
                 data[m, 2 + delta::4] = scaling * wf1 * seq[1::2]
-            out[k] = self.precoding @ data
+            out[k] = precoding @ data
         return out
 
-    def tx_grid_batch(self, slot_list):
+    def tx_grid_batch(self, slot_list, roll_ant: int = 0):
         """Slot-batched device TX: one traced encode + grid compose for
         every allocated slot in slot_list -> (S, ant, 14, n_sc) device
         complex64 grids (gated slots all-zero).
@@ -316,15 +318,23 @@ class Pdsch:
         over slots x CBs and a static-slice grid composition. rv
         cycling / trblk regeneration semantics match process() exactly
         (rvidx advances per allocated slot; fresh trblk at rvidx 0).
+
+        roll_ant=k emits the grid with the antenna axis pre-rolled by
+        -k — the reference's tx_low_phy ifftshift antenna roll folded
+        into the precoder/DMRS rows at plan time for free, so the fused
+        DUC path (ops/filters.tx_lowphy_duc, roll-free) can consume the
+        grid directly.
         """
         cfg = self.cfg
         n_layers = cfg["num_of_layers"]
         n_ant = self.carrier["num_of_ant"]
+        prec = (np.roll(self.precoding, -roll_ant, axis=0) if roll_ant
+                else self.precoding)
         layout, n_data_re = self._tx_layout()
         n_sc = layout[0]
         s_dim = len(slot_list)
 
-        active_idx, rvs, trblks, dmrs_vals = [], [], [], []
+        active_idx, rvs, trblks = [], [], []
         for i, slot in enumerate(slot_list):
             if (slot % cfg["period_in_slot"]) not in cfg["allocated_slots"]:
                 continue
@@ -334,12 +344,14 @@ class Pdsch:
             active_idx.append(i)
             rvs.append(rv)
             trblks.append(self.trblk)
-            dmrs_vals.append(self._dmrs_values(slot))
         if not active_idx:
             return jnp.zeros((s_dim, n_ant, 14, n_sc), jnp.complex64)
 
         G = self.qm * n_layers * n_data_re
         trb = jnp.asarray(np.stack(trblks))              # (Sa, A)
+        cache = getattr(self, "_tx_dev_cache", None)
+        if cache is None:
+            cache = self._tx_dev_cache = {}
         uniq = sorted(set(rvs))
         if len(uniq) == 1:
             g_seq = dlsch_encode(trb, self.tbsize, self.qm, self.rate1024,
@@ -355,11 +367,23 @@ class Pdsch:
                                   self.tbs_lbrm, G)
                 g_seq = g_seq.at[np.asarray(idx)].set(gk.astype(jnp.int8))
         cinit = cfg["rnti"] * (2 ** 15) + cfg["nID"]
-        scr = jnp.asarray(gen_prbs_np(cinit, G))
+        # device-input caches: the scramble sequence depends only on
+        # (cinit, G) and the DMRS stack only on the slot numbers — in a
+        # sweep both repeat every SNR point, and each avoided to_device
+        # is a tunnel transfer on the axon backend
+        scr_key = ("scr", cinit, G)
+        if scr_key not in cache:
+            cache[scr_key] = jnp.asarray(gen_prbs_np(cinit, G))
         precoded = pdsch_symbol_encode(
-            g_seq, scr, to_device(self.precoding), self.qm, n_layers,
-            n_ant, cinit, G)                             # (Sa, ant, n_re)
-        dmrs_dev = to_device(np.stack(dmrs_vals))        # (Sa, nd, ant, rb12)
+            g_seq, cache[scr_key], to_device(prec), self.qm,
+            n_layers, n_ant, cinit, G)                   # (Sa, ant, n_re)
+        dmrs_key = ("dmrs", roll_ant) + tuple(
+            int(slot_list[i]) for i in active_idx)
+        if dmrs_key not in cache:
+            cache[dmrs_key] = to_device(np.stack(
+                [self._dmrs_values(int(slot_list[i]), precoding=prec)
+                 for i in active_idx]))
+        dmrs_dev = cache[dmrs_key]                       # (Sa, nd, ant, rb12)
         grid = _pdsch_compose_grid(precoded, dmrs_dev, layout)
         if len(active_idx) != s_dim:
             grid = jnp.zeros((s_dim, n_ant, 14, n_sc), jnp.complex64) \

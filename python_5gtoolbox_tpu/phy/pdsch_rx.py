@@ -215,9 +215,29 @@ class PdschRxMixin:
         harq = return_llr or llr_prev is not None
         if not isinstance(rx_fd_slots, jax.Array):
             rx_fd_slots = np.asarray(rx_fd_slots)
-        fn, dmrs_planes, scr_sign = self.rx_batch_prepare(
-            rx_fd_slots.shape[1], slot_list, CEQ_config,
-            LDPC_decoder_config, ce_config, rv=rv, harq=harq)
+        # cache the DEVICE dmrs/scramble inputs per (slot set, rv): in a
+        # sweep the same slot numbers repeat every SNR point, and each
+        # avoided to_device is an axon tunnel transfer
+        dev_cache = getattr(self, "_rx_dev_cache", None)
+        if dev_cache is None:
+            dev_cache = self._rx_dev_cache = {}
+        ck = (tuple(int(s) for s in slot_list),
+              CEQ_config["algo"], harq,
+              None if rv is None else int(rv),
+              rx_fd_slots.shape[1],
+              tuple(sorted((k, v) for k, v in LDPC_decoder_config.items()
+                           if not callable(v))),
+              tuple(sorted((k, v) for k, v in ce_config.items()
+                           if isinstance(v, (int, float, str, bool)))))
+        if ck in dev_cache:
+            fn, dmrs_dev, scr_dev = dev_cache[ck]
+        else:
+            fn, dmrs_planes, scr_sign = self.rx_batch_prepare(
+                rx_fd_slots.shape[1], slot_list, CEQ_config,
+                LDPC_decoder_config, ce_config, rv=rv, harq=harq)
+            dmrs_dev = to_device(dmrs_planes)
+            scr_dev = to_device(scr_sign)
+            dev_cache[ck] = (fn, dmrs_dev, scr_dev)
 
         if isinstance(rx_fd_slots, jax.Array):
             # device-resident input: never round-trip through the host
@@ -229,15 +249,13 @@ class PdschRxMixin:
                 [rx_fd_slots.real, rx_fd_slots.imag]).astype(np.float32))
         if harq:
             prev = None if llr_prev is None else jnp.asarray(llr_prev)
-            err, tbblk, llr_dns = fn(rx_planes, to_device(dmrs_planes),
-                                     to_device(scr_sign), prev)
+            err, tbblk, llr_dns = fn(rx_planes, dmrs_dev, scr_dev, prev)
             ok = err == 0
             if not fetch:
                 return ok, tbblk, llr_dns
             return (np.asarray(ok), np.asarray(tbblk).astype(np.int8),
                     llr_dns)   # llr stays device-resident for chaining
-        err, tbblk = fn(rx_planes, to_device(dmrs_planes),
-                        to_device(scr_sign))
+        err, tbblk = fn(rx_planes, dmrs_dev, scr_dev)
         ok = err == 0           # device-side compare; stays async
         if not fetch:
             # async-dispatch mode: the caller overlaps the next sweep's

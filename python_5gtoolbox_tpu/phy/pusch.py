@@ -327,6 +327,7 @@ def _attach_rx_methods():
     NrPUSCH.H_LS_est = pusch_rx.PuschRxMixin.H_LS_est
     NrPUSCH.RX_process = pusch_rx.PuschRxMixin.RX_process
     NrPUSCH.rx_process_batch = pusch_rx.PuschRxMixin.rx_process_batch
+    NrPUSCH._batch_ul_uci_fn = pusch_rx.PuschRxMixin._batch_ul_uci_fn
 
 
 _attach_rx_methods()

@@ -375,6 +375,56 @@ def _batch_ul_rx_fn(key: tuple):
 class PuschRxMixin:
     """RX methods mixed into NrPUSCH."""
 
+    def _batch_ul_uci_fn(self, key, algo, ce_config, rv, ldpc_cfg):
+        """Build (and cache per object) the batched UL core with the
+        data/control demultiplex + traced UCI decoders compiled in
+        (VERDICT r4 item 3; reference decode is a TODO at
+        nr_pusch_uci_decode.py:19). The 38.212 6.2.7 demux positions
+        are static per config (data_control_demux_maps), so the UCI
+        streams are compile-time gathers inside the one-dispatch RX."""
+        from python_5gtoolbox_tpu.rx.batch_core import (
+            build_batch_rx_core, data_re_layout)
+
+        cache = getattr(self, "_uci_fn_cache", None)
+        if cache is None:
+            cache = self._uci_fn_cache = {}
+        if key in cache:
+            return cache[key]
+        cfg = self.cfg
+        ssi, nsym = cfg["StartSymbolIndex"], cfg["NrOfSymbols"]
+        symlist = pusch_dmrs_symlist(ssi + nsym,
+                                     cfg["DMRS"]["DMRSAddPos"])
+        tbsize, qm, rate1024 = tbs_mod.ulsch_tbsize(cfg)
+        ports = tuple(cfg["PortIndexList"])
+        nl = cfg["num_of_layers"]
+        ncdm = cfg["DMRS"]["NumCDMGroupsWithoutData"]
+        rb_size = cfg["ResAlloType1"]["RBSize"]
+        _, g_total = data_re_layout(ports, nl, ncdm, rb_size, ssi, nsym,
+                                    symlist, qm)
+        _, info, _ = ulsch_crc_segment(np.zeros(tbsize, np.int8),
+                                       tbsize, rate1024)
+        rm = get_ulsch_rm_info(cfg, symlist, info.C * info.K, qm,
+                               rate1024, g_total)
+        maps = data_control_demux_maps(cfg, symlist, rm, qm, g_total)
+        streams = []
+        for name, n_bits in (("ack", cfg["NumACKBits"]),
+                             ("csi1", cfg["NumCSI1Bits"]),
+                             ("csi2", cfg["NumCSI2Bits"])):
+            if maps[name].size:
+                streams.append((name, maps[name], int(n_bits)))
+        uci_plan = dict(ulsch_pos=maps["ulsch"], streams=streams)
+        fn, G = build_batch_rx_core(
+            rb_start=cfg["ResAlloType1"]["RBStart"], rb_size=rb_size,
+            ssi=ssi, nsym=nsym, ports=ports, nl=nl, ncdm=ncdm,
+            scs=self.carrier["scs"], n_sc=12 * self.prb_size,
+            nr=key[10], qm=qm, tbsize=tbsize, rate1024=rate1024,
+            tbs_lbrm=None, rv=rv, algo=algo, ldpc_cfg=ldpc_cfg,
+            ce_config=ce_config, symlist=symlist,
+            scaling=1.0 if ncdm == 1 else 10 ** (-3 / 20),
+            uci_plan=uci_plan)
+        cache[key] = (fn, G, symlist)
+        return cache[key]
+
     def H_LS_est(self, rx_fd_slot, slot):
         h_ls, info = pusch_dmrs_ls_est(rx_fd_slot, self.cfg, slot)
         info["scs"] = self.carrier["scs"]
@@ -390,8 +440,10 @@ class PuschRxMixin:
         TP configs need 1 layer, NumCDM=2 and a linear equalizer
         (ZF/MMSE[-IRC]); the batched IDFT de-precode runs inside the
         traced core (reference branch
-        py5gphy/nr_pusch/nr_pusch_process.py:39-54). UCI-multiplexing
-        configs use the per-slot RX_process.
+        py5gphy/nr_pusch/nr_pusch_process.py:39-54). UCI-on-PUSCH
+        configs (also r5) run the 6.2.7 demultiplex + smallblock/polar
+        UCI decoders inside the traced core and return
+        (ok, tbblk, uci) with uci[name] = (bits (S, n), ok (S,)).
         -> (ok (S,) bool, tbblk (S, A) int8). fetch=False returns
         device arrays without synchronizing (software-pipelined sweeps
         overlap the next point's TX staging with this decode).
@@ -407,10 +459,13 @@ class PuschRxMixin:
                 and CEQ_config["algo"] in ("ZF", "ZF-IRC", "MMSE",
                                            "MMSE-IRC"), \
                 "batched TP RX needs 1 layer, NumCDM=2, linear equalizer"
-        assert not (cfg["EnableACK"] * cfg["NumACKBits"]
-                    or cfg["EnableCSI1"] * cfg["NumCSI1Bits"]
-                    or cfg["EnableCSI2"] * cfg["NumCSI2Bits"]), \
-            "batched RX does not multiplex UCI"
+        uci_on = bool(cfg["EnableACK"] * cfg["NumACKBits"]
+                      or cfg["EnableCSI1"] * cfg["NumCSI1Bits"]
+                      or cfg["EnableCSI2"] * cfg["NumCSI2Bits"])
+        if uci_on:
+            assert not tp, "batched UCI RX is CP-OFDM only"
+            assert not (return_llr or llr_prev is not None), \
+                "batched UCI RX has no HARQ chaining yet"
         assert cfg["EnableULSCH"] == 1
         import jax
 
@@ -434,31 +489,56 @@ class PuschRxMixin:
                cfg["DMRS"]["DMRSAddPos"], self.carrier["scs"],
                12 * self.prb_size,
                rx_fd_slots.shape[1], qm, tbsize, rate1024,
-               rv_eff, CEQ_config["algo"], ldpc_key, ce_key, harq, tp)
-        fn, G, symlist = _batch_ul_rx_fn(key)
-
-        dmrs = cfg["DMRS"]
-        n_scid = dmrs["nSCID"]
-        tpd = dmrs["transformPrecodingDisabled"]
-        nid = int(tpd["NID0"] if n_scid == 0 else tpd["NID1"])
-        rb_start = cfg["ResAlloType1"]["RBStart"]
-        rb_size = cfg["ResAlloType1"]["RBSize"]
-        if tp:
-            tpe = dmrs["transformPrecodingEnabled"]
-            seqs = np.stack([
-                np.stack([_dmrs_seq_tp(tpe["nPuschID"],
-                                       tpe["groupOrSequenceHopping"],
-                                       rb_size * 6, int(slot), sym)
-                          for sym in symlist])
-                for slot in slot_list])
+               rv_eff, CEQ_config["algo"], ldpc_key, ce_key, harq, tp,
+               (cfg["EnableACK"] * cfg["NumACKBits"],
+                cfg["EnableCSI1"] * cfg["NumCSI1Bits"],
+                cfg["EnableCSI2"] * cfg["NumCSI2Bits"],
+                cfg["I_HARQ_ACK_offset"], cfg["I_CSI1offset"],
+                cfg.get("I_CSI2offset", 0),
+                cfg.get("UCIScaling", 1)) if uci_on else None)
+        if uci_on:
+            fn, G, symlist = self._batch_ul_uci_fn(
+                key, CEQ_config["algo"], dict(ce_key), rv_eff,
+                dict(zip(("L", "algo", "alpha", "beta"), ldpc_key)))
         else:
-            seqs = np.stack([
-                np.stack([_dmrs_seq_no_tp(n_scid, nid, rb_start * 6,
-                                          rb_size * 6, int(slot), sym)
-                          for sym in symlist])
-                for slot in slot_list])
-        cinit = cfg["rnti"] * (2 ** 15) + cfg["nNid"]
-        scr_sign = (1.0 - 2.0 * gen_prbs_np(cinit, G)).astype(np.float32)
+            fn, G, symlist = _batch_ul_rx_fn(key[:-1])
+
+        # device-input cache: dmrs stack + scramble sign repeat across a
+        # sweep's SNR points (see PdschRxMixin.rx_process_batch)
+        dev_cache = getattr(self, "_rx_dev_cache", None)
+        if dev_cache is None:
+            dev_cache = self._rx_dev_cache = {}
+        ck = (tuple(int(s) for s in slot_list), key)
+        if ck in dev_cache:
+            dmrs_dev, scr_dev = dev_cache[ck]
+        else:
+            dmrs = cfg["DMRS"]
+            n_scid = dmrs["nSCID"]
+            tpd = dmrs["transformPrecodingDisabled"]
+            nid = int(tpd["NID0"] if n_scid == 0 else tpd["NID1"])
+            rb_start = cfg["ResAlloType1"]["RBStart"]
+            rb_size = cfg["ResAlloType1"]["RBSize"]
+            if tp:
+                tpe = dmrs["transformPrecodingEnabled"]
+                seqs = np.stack([
+                    np.stack([_dmrs_seq_tp(tpe["nPuschID"],
+                                           tpe["groupOrSequenceHopping"],
+                                           rb_size * 6, int(slot), sym)
+                              for sym in symlist])
+                    for slot in slot_list])
+            else:
+                seqs = np.stack([
+                    np.stack([_dmrs_seq_no_tp(n_scid, nid, rb_start * 6,
+                                              rb_size * 6, int(slot), sym)
+                              for sym in symlist])
+                    for slot in slot_list])
+            cinit = cfg["rnti"] * (2 ** 15) + cfg["nNid"]
+            scr_sign = (1.0 - 2.0 * gen_prbs_np(cinit, G)) \
+                .astype(np.float32)
+            dmrs_dev = to_device(
+                np.stack([seqs.real, seqs.imag]).astype(np.float32))
+            scr_dev = to_device(scr_sign)
+            dev_cache[ck] = (dmrs_dev, scr_dev)
 
         if isinstance(rx_fd_slots, jax.Array):
             rx_planes = jnp.stack([jnp.real(rx_fd_slots),
@@ -467,18 +547,25 @@ class PuschRxMixin:
         else:
             rx_planes = to_device(np.stack(
                 [rx_fd_slots.real, rx_fd_slots.imag]).astype(np.float32))
-        dmrs_planes = np.stack([seqs.real, seqs.imag]).astype(np.float32)
         if harq:
             prev = None if llr_prev is None else jnp.asarray(llr_prev)
-            err, tbblk, llr_dns = fn(rx_planes, to_device(dmrs_planes),
-                                     to_device(scr_sign), prev)
+            err, tbblk, llr_dns = fn(rx_planes, dmrs_dev, scr_dev, prev)
             ok = err == 0
             if not fetch:
                 return ok, tbblk, llr_dns
             return (np.asarray(ok), np.asarray(tbblk).astype(np.int8),
                     llr_dns)
-        err, tbblk = fn(rx_planes, to_device(dmrs_planes),
-                        to_device(scr_sign))
+        if uci_on:
+            err, tbblk, uci_dev = fn(rx_planes, dmrs_dev, scr_dev)
+            ok = err == 0
+            if not fetch:
+                return ok, tbblk, uci_dev
+            uci = {name: (np.asarray(bits).astype(np.int8),
+                          np.asarray(okk))
+                   for name, (bits, okk) in uci_dev.items()}
+            return (np.asarray(ok), np.asarray(tbblk).astype(np.int8),
+                    uci)
+        err, tbblk = fn(rx_planes, dmrs_dev, scr_dev)
         ok = err == 0           # device-side compare; stays async
         if not fetch:
             return ok, tbblk

@@ -62,11 +62,85 @@ def sch_decode_plan(tbsize: int, rate1024: float, G: int, qm: int,
     return tb_poly, B, bgn, info, ncb, er_list
 
 
+def _special_codebook_np(k: int, qm: int) -> np.ndarray:
+    """(2^k, N) +-1/0 codebook for the 1/2-bit UCI special tables;
+    placeholder positions (x=-1, y=-2) contribute 0 correlation
+    (mirrors phy/pusch_rx._special_codebook)."""
+    from python_5gtoolbox_tpu.ops.smallblock import encode_smallblock_np
+
+    msgs = ((np.arange(2 ** k)[:, None] >> np.arange(k)) & 1).astype(np.int8)
+    rows = []
+    for m in msgs:
+        cw = encode_smallblock_np(m, qm).astype(np.float32)
+        sig = 1.0 - 2.0 * cw
+        sig[cw < 0] = 0.0
+        rows.append(sig)
+    return np.stack(rows)
+
+
+def make_uci_decoder(n_bits: int, e_uci: int, qm: int):
+    """Plan-time factory for a TRACED UCI-stream decoder:
+    (S, E) llrs -> (bits (S, n_bits) int8, ok (S,) bool).
+
+    Mirrors phy/pusch_rx.decode_uci_on_ulsch (reference leaves UCI
+    decode as TODO, nr_pusch_uci_decode.py:19): <=2 bits special-table
+    ML, 3..11 bits Reed-Muller correlation, >11 bits CA-SCL polar with
+    the encode-side segmentation sizing."""
+    from python_5gtoolbox_tpu.ops import polar as polar_ops
+    from python_5gtoolbox_tpu.ops import smallblock as sb_ops
+    from python_5gtoolbox_tpu.ops.polar.construct import gen_n_value
+    from python_5gtoolbox_tpu.ops.polar.segment import polar_cb_segment
+
+    if n_bits <= 2:
+        n_sb = ({1: qm, 2: 3 * qm}[n_bits] if qm > 1
+                else (1, 3)[n_bits - 1])
+        cb = _special_codebook_np(n_bits, qm)
+        msgs = ((np.arange(2 ** n_bits)[:, None]
+                 >> np.arange(n_bits)) & 1).astype(np.int8)
+
+        def fn(llr):
+            acc = sb_ops.raterecover_smallblock(llr, n_sb)
+            corr = jnp.matmul(acc, jnp.asarray(cb).T,
+                              precision=jax.lax.Precision.HIGHEST)
+            best = jnp.argmax(corr, axis=-1)
+            bits = jnp.take(jnp.asarray(msgs), best, axis=0)
+            return bits.astype(jnp.int8), \
+                jnp.ones(llr.shape[0], bool)   # ML: no CRC
+        return fn
+    if n_bits <= 11:
+        def fn(llr):
+            acc = sb_ops.raterecover_smallblock(llr, 32)
+            bits = sb_ops.decode_smallblock(acc, n_bits)
+            return bits.astype(jnp.int8), jnp.ones(llr.shape[0], bool)
+        return fn
+
+    cbs, C, er = polar_cb_segment(np.zeros(n_bits, np.int8), e_uci)
+    K = cbs.shape[1]
+    crc_len = 6 if (C == 1 and n_bits <= 19) else 11
+    n_max, i_il, i_bil = 10, 0, 1
+    N, _ = gen_n_value(K, er, n_max)
+
+    def fn(llr):
+        outs, oks = [], None
+        for m in range(C):
+            seg = jax.lax.slice_in_dim(llr, m * er, (m + 1) * er, axis=1)
+            rec = polar_ops.polar_raterecover(seg, K, N, i_bil)
+            ck, ok = polar_ops.polar_decode_scl(rec, er, K, 8, n_max,
+                                                i_il, crc_len=crc_len)
+            outs.append(ck[:, : K - crc_len])
+            oks = ok if oks is None else (oks & ok)
+        bits = jnp.concatenate(outs, axis=1)
+        if C == 2 and n_bits % 2 == 1:
+            bits = bits[:, 1:]     # drop the front zero pad
+        return bits.astype(jnp.int8), oks
+    return fn
+
+
 def build_batch_rx_core(*, rb_start, rb_size, ssi, nsym, ports, nl,
                         ncdm, scs, n_sc, nr, qm, tbsize, rate1024,
                         tbs_lbrm, rv, algo, ldpc_cfg, ce_config,
                         symlist, scaling, harq=False,
-                        transform_precode=False):
+                        transform_precode=False, uci_plan=None):
     """-> (jitted core(rx_planes, dmrs_planes, scr_sign[, llr_prev]) ->
     (err (S,) int8, tbblk (S, A) bits[, llr_dns (S, C, N)]), G).
 
@@ -91,8 +165,16 @@ def build_batch_rx_core(*, rb_start, rb_size, ssi, nsym, ports, nl,
             f"transform precoding needs a linear equalizer, got {algo}"
     dmrs_data_idx, G = data_re_layout(ports, nl, ncdm, rb_size, ssi,
                                       nsym, symlist, qm)
+    # with UCI multiplexed, the SCH stream is the demuxed subset (38.212
+    # 6.2.7); its rate-match capacity is G_ULSCH, not the full grid G
+    g_sch = G if uci_plan is None else int(uci_plan["ulsch_pos"].size)
+    uci_decs = []
+    if uci_plan is not None:
+        for name, pos, n_bits in uci_plan["streams"]:
+            uci_decs.append((name, np.asarray(pos, np.int32),
+                             make_uci_decoder(n_bits, int(pos.size), qm)))
     tb_poly, B, bgn, info, ncb, er_list = sch_decode_plan(
-        tbsize, rate1024, G, qm, nl, tbs_lbrm)
+        tbsize, rate1024, g_sch, qm, nl, tbs_lbrm)
     rs_info = dict(RSSymMap=list(symlist), RE_distance=4,
                    NumCDMGroupsWithoutData=ncdm, scs=scs)
     A = tbsize
@@ -172,6 +254,16 @@ def build_batch_rx_core(*, rb_start, rb_size, ssi, nsym, ports, nl,
                 cv.reshape(s * n_re, nr, nr), modtype, algo)
         llr = llr.reshape(s, G) * scr_sign[None, :]
 
+        # ---- data/control demultiplex + traced UCI decode
+        uci_out = {}
+        if uci_plan is not None:
+            for name, pos, dec in uci_decs:
+                uci_out[name] = dec(jnp.take(llr, jnp.asarray(pos),
+                                             axis=1))
+            llr = jnp.take(
+                llr, jnp.asarray(uci_plan["ulsch_pos"].astype(np.int32)),
+                axis=1)                                   # (S, G_ULSCH)
+
         # ---- de-rate-match (Er groups) -> (S, C, N)
         grps = []
         g_off = 0
@@ -206,8 +298,11 @@ def build_batch_rx_core(*, rb_start, rb_size, ssi, nsym, ports, nl,
             else bits[:, :, : k_apo]
         tbblkandcrc = cb_bits.reshape(s, -1)[:, :B]
         err = crc_ops.crc_check(tbblkandcrc, tb_poly)
+        outs = [err, tbblkandcrc[:, :A]]
         if harq:
-            return err, tbblkandcrc[:, :A], llr_dns
-        return err, tbblkandcrc[:, :A]
+            outs.append(llr_dns)
+        if uci_plan is not None:
+            outs.append(uci_out)
+        return tuple(outs)
 
     return jax.jit(core), G

@@ -37,11 +37,67 @@ def _reg(m):
     return m + (_EPS * scale + 1e-30) * jnp.eye(n, dtype=m.dtype)
 
 
+def _inv22(m):
+    """Closed-form inverse of (..., 2, 2) (elementwise VPU math)."""
+    a, b = m[..., 0, 0], m[..., 0, 1]
+    c, d = m[..., 1, 0], m[..., 1, 1]
+    det = a * d - b * c
+    row0 = jnp.stack([d, -b], axis=-1)
+    row1 = jnp.stack([-c, a], axis=-1)
+    return jnp.stack([row0, row1], axis=-2) / det[..., None, None]
+
+
+def _mm(a, b):
+    # tiny-matrix products inside the closed-form inverse: HIGHEST so
+    # TPU default bf16 rounding doesn't amplify through the Schur step
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def inv_small(m):
+    """Batched inverse of (..., n, n) for n <= 4 without linalg.inv.
+
+    XLA lowers batched LU (jnp.linalg.inv) to a serialized
+    dynamic-slice loop on TPU — for the equalizer's millions of tiny
+    per-RE matrices it dominated the whole batched RX dispatch
+    (measured 125 ms of a 20-slot MMSE-IRC sweep step). n=2 is the
+    adjugate; n=4 is blockwise 2x2 Schur (inputs are regularized by
+    _reg so the pivots are bounded); n=3 pads to the 4x4 path.
+    """
+    n = m.shape[-1]
+    if n == 1:
+        return 1.0 / m
+    if n == 2:
+        return _inv22(m)
+    if n == 3:
+        # pad to 4x4 with an identity corner, invert, slice back
+        pad = jnp.zeros(m.shape[:-2] + (4, 4), m.dtype)
+        pad = pad.at[..., :3, :3].set(m)
+        pad = pad.at[..., 3, 3].set(1.0)
+        return inv_small(pad)[..., :3, :3]
+    if n == 4:
+        a = m[..., :2, :2]
+        b = m[..., :2, 2:]
+        c = m[..., 2:, :2]
+        d = m[..., 2:, 2:]
+        ai = _inv22(a)
+        s = d - _mm(_mm(c, ai), b)
+        si = _inv22(s)
+        ai_b = _mm(ai, b)
+        c_ai = _mm(c, ai)
+        tl = ai + _mm(_mm(ai_b, si), c_ai)
+        tr = -_mm(ai_b, si)
+        bl = -_mm(si, c_ai)
+        top = jnp.concatenate([tl, tr], axis=-1)
+        bot = jnp.concatenate([bl, si], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+    return jnp.linalg.inv(m)
+
+
 def zf(y, h, cov, irc: bool):
     """y (N, Nr), h (N, Nr, NL), cov (N, Nr, Nr) -> (s_est, noise_var)."""
     hh = jnp.conj(jnp.swapaxes(h, -1, -2))
     w1 = _reg(hh @ h)
-    w2 = jnp.linalg.inv(w1)
+    w2 = inv_small(w1)
     w = w2 @ hh
     s = jnp.einsum("nlr,nr->nl", w, y)
     if irc:
@@ -60,15 +116,15 @@ def mmse(y, h, cov, irc: bool):
     nl = h.shape[-1]
     eye = jnp.eye(nl, dtype=h.dtype)
     if irc:
-        inv_cov = jnp.linalg.inv(_reg(cov))
+        inv_cov = inv_small(_reg(cov))
         w1 = _reg(hh @ inv_cov @ h + eye)
-        inv_w1 = jnp.linalg.inv(w1)
+        inv_w1 = inv_small(w1)
         w = inv_w1 @ hh @ inv_cov
     else:
         sigma2 = jnp.mean(jnp.real(jnp.diagonal(cov, axis1=-2, axis2=-1)),
                           axis=-1)[..., None, None]
         w1 = _reg(hh @ h / sigma2.astype(h.dtype) + eye)
-        inv_w1 = jnp.linalg.inv(w1)
+        inv_w1 = inv_small(w1)
         w = inv_w1 @ hh / sigma2.astype(h.dtype)
     s_hat = jnp.einsum("nlr,nr->nl", w, y)
     comp = 1.0 - jnp.diagonal(inv_w1, axis1=-2, axis2=-1)

@@ -40,7 +40,10 @@ def gen_dl_waveform(waveform_config: dict, carrier_config: dict,
     Shapes match the reference: fd (ant, S*14*12*prb), td (ant,
     S*15*nfft), dl at waveform_config["samplerate_in_mhz"].
     return_device=True keeps td/dl on the accelerator (fd stays host —
-    it IS the host grid bookkeeping).
+    it IS the host grid bookkeeping) — and on the single-PDSCH fast
+    path WITHOUT timing-error injection the whole TX (grid, OFDM, CP,
+    slot phase, DUC) runs as one fused device dispatch; td is then
+    None (device sweeps consume only dl).
     """
     n_slots = waveform_config["numofslots"]
     start_sfn = waveform_config["startSFN"]
@@ -64,6 +67,25 @@ def gen_dl_waveform(waveform_config: dict, carrier_config: dict,
             and not nrPDCCH_list and nrPdsch_list[0].tx_batch_supported()):
         slots = [(start_slot + idx) % slots_per_frame
                  for idx in range(n_slots)]
+        no_dm = Dm is None or len(Dm) == 0 or not np.any(np.asarray(Dm))
+        if return_device and no_dm:
+            # fully fused device TX: grid (antenna roll folded into the
+            # precoder rows) -> tx_lowphy_duc with the slot phase folded
+            # pre-IFFT — OFDM + CP + phase + DUC in ONE dispatch on the
+            # Pallas fused-filter path, no intermediate td materialized.
+            # td is not produced on this path (device sweeps use only
+            # dl); host-return callers keep the composed path below.
+            roll = nant // 2 if nant > 1 else 0
+            fd_dev = nrPdsch_list[0].tx_grid_batch(slots, roll_ant=roll)
+            dl = filters.tx_lowphy_duc(
+                jnp.swapaxes(fd_dev, 0, 1), scs, bw, fc_hz,
+                out_rate_hz, slot_phase=True, start_slot=start_slot)
+            if roll:
+                # fd return contract is the UNROLLED grid
+                fd_dev = jnp.roll(fd_dev, roll, axis=1)
+            fd_waveform = jnp.swapaxes(fd_dev, 0, 1).reshape(nant, -1)
+            nfft = num.fft_size(prb)
+            return fd_waveform, None, dl, nfft * scs * 1000
         fd_dev = nrPdsch_list[0].tx_grid_batch(slots)
     else:
         grids = np.zeros((n_slots, nant, 14 * n_sc), np.complex64)

@@ -38,10 +38,14 @@ class _NullProfiler:
 
 def pdsch_before_ceq_processing(carrier_config, pdsch_config, chan_cfg,
                                 pnoise_db, n_slots=2, seed=0,
-                                ce_config=None, prof=None, do_ce=True):
+                                ce_config=None, prof=None, do_ce=True,
+                                return_full=False):
     """TX + channel + Rx low-PHY + channel estimation for each slot.
 
-    Returns (nrPdsch, per-slot list of (rx_fd_slot, H_result, cov_m, est)).
+    Returns (nrPdsch, per-slot list of (rx_fd_slot, H_result, cov_m, est));
+    return_full=True appends the full rx_fd waveform as a third element
+    (the batched sweep reshapes it into the slot stack in one device op
+    instead of stacking 20 slices).
     prof: optional utils.profiling.StageProfiler accumulating per-stage
     wall time (tx_waveform / channel / rx_lowphy / channel_est).
     do_ce=False skips the per-slot NumPy channel estimation (the batched
@@ -110,6 +114,8 @@ def pdsch_before_ceq_processing(carrier_config, pdsch_config, chan_cfg,
             est = NrChannelEstimation(h_ls, rs_info, ce_config)
             H, cov = est.channel_est()
         per_slot.append((rx_slot, H, cov, est, slot))
+    if return_full:
+        return nr_pdsch, per_slot, rx_fd
     return nr_pdsch, per_slot
 
 
@@ -135,49 +141,70 @@ def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
         ce_cfg_full["enable_FO_comp"] = False
     prof_ = prof or _NullProfiler()
     results = {algo: [] for algo in ceq_algo_list}
-    pending = None   # (snr, n_alloc, {algo: device ok flags}) to fetch
+    # deferred-fetch queue: decode dispatches stay on the device for the
+    # WHOLE sweep and all ok flags come back in ONE stacked transfer at
+    # the end — on the axon tunnel every small fetch costs a full
+    # round-trip, which dominated the r4 sweep (6 points = 6 syncs)
+    pending = []     # [(snr, n_alloc, {algo: device ok flags} | None)]
 
     def fetch_pending():
-        nonlocal pending
-        if pending is None:
+        if not pending:
             return
-        snr_p, ntot, oks = pending
-        pending = None
-        for algo, ok in oks.items():
-            npass = int(np.sum(np.asarray(ok)))
-            results[algo].append(npass / max(ntot, 1))
-            print(f"PDSCH snr={snr_p:+.1f}dB {algo}: "
-                  f"{npass}/{ntot} TB passed")
+        import jax.numpy as jnp
+        chunks = [oks[algo] for _, _, oks in pending if oks
+                  for algo in ceq_algo_list]
+        flat = np.asarray(jnp.concatenate(chunks)) if chunks else None
+        off = 0
+        for snr_p, ntot, oks in pending:
+            for algo in ceq_algo_list:
+                if oks is None:
+                    results[algo].append(0.0)
+                    print(f"PDSCH snr={snr_p:+.1f}dB {algo}: "
+                          f"0/0 TB passed")
+                    continue
+                npass = int(np.sum(flat[off: off + ntot]))
+                off += ntot
+                results[algo].append(npass / max(ntot, 1))
+                print(f"PDSCH snr={snr_p:+.1f}dB {algo}: "
+                      f"{npass}/{ntot} TB passed")
+        pending.clear()
 
     for i_snr, snr in enumerate(snr_db_list):
         # fresh channel trajectory per SNR point: a shared seed would
         # make every point ride the SAME fade sequence and cap the
         # whole curve at that trajectory's outage fraction
-        nr_pdsch, slots = pdsch_before_ceq_processing(
+        out = pdsch_before_ceq_processing(
             carrier_config, pdsch_config, chan_cfg, -snr, n_slots,
             seed + 7919 * i_snr, ce_config, prof=prof,
-            do_ce=not use_batch)
+            do_ce=not use_batch, return_full=use_batch)
         if use_batch:
             import jax
             import jax.numpy as jnp
-            alloc = [(rx_slot, slot) for rx_slot, _, _, _, slot in slots
-                     if (slot % pdsch_config["period_in_slot"])
-                     in pdsch_config["allocated_slots"]]
-            if not alloc:
+            nr_pdsch, slots, rx_fd = out
+            alloc_idx = [i for i, (_, _, _, _, slot) in enumerate(slots)
+                         if (slot % pdsch_config["period_in_slot"])
+                         in pdsch_config["allocated_slots"]]
+            if not alloc_idx:
                 # no allocated slot in the simulated window: 0.0 pass
                 # rate, like the per-slot path's npass/max(ntot, 1)
-                fetch_pending()
-                for algo in ceq_algo_list:
-                    results[algo].append(0.0)
-                    print(f"PDSCH snr={snr:+.1f}dB {algo}: 0/0 TB passed")
+                pending.append((snr, 0, None))
                 continue
-            xp = jnp if isinstance(alloc[0][0], jax.Array) else np
-            rx_stack = xp.stack([a[0] for a in alloc])
-            slot_nums = [a[1] for a in alloc]
+            xp = jnp if isinstance(rx_fd, jax.Array) else np
+            # one reshape instead of stacking n_slots slices (each
+            # slice+stack is a separate device dispatch)
+            nr_ant = rx_fd.shape[0]
+            slot_size = slots[0][0].shape[-1]
+            full = xp.swapaxes(
+                rx_fd[:, : n_slots * slot_size].reshape(
+                    nr_ant, n_slots, slot_size), 0, 1)
+            rx_stack = (full if len(alloc_idx) == n_slots
+                        else full[np.asarray(alloc_idx)])
+            slot_nums = [slots[i][4] for i in alloc_idx]
+            alloc = alloc_idx
             # software-pipelined sweep: dispatch this point's decodes
             # WITHOUT fetching, so the device works on SNR i while the
-            # host stages SNR i+1's TX/channel (the single-chip PP
-            # overlap; the previous point is fetched only now)
+            # host stages SNR i+1's TX/channel (single-chip PP overlap);
+            # every point's flags come back in one transfer at the end
             oks = {}
             nr_pdsch.rvidx = -1
             for algo in ceq_algo_list:
@@ -187,9 +214,9 @@ def run_pdsch_throughput(carrier_config, pdsch_config, chan_cfg,
                         rx_stack, slot_nums, {"algo": algo},
                         ldpc_config, ce_cfg_full, fetch=False)
                 oks[algo] = ok
-            fetch_pending()
-            pending = (snr, len(alloc), oks)
+            pending.append((snr, len(alloc), oks))
             continue
+        nr_pdsch, slots = out
         for algo in ceq_algo_list:
             npass = ntot = 0
             nr_pdsch.rvidx = -1

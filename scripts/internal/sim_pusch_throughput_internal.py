@@ -44,7 +44,8 @@ def can_batch_pusch_rx(pusch_config: dict, algos=None) -> bool:
 
 def pusch_before_ceq_processing(carrier_config, pusch_config, chan_cfg,
                                 pnoise_db, n_slots=2, seed=0,
-                                ce_config=None, do_ce=True):
+                                ce_config=None, do_ce=True,
+                                return_full=False):
     ce_config = dict(DEFAULT_CE_CONFIG, **(ce_config or {}))
     scs, bw = carrier_config["scs"], carrier_config["BW"]
     fm = float(chan_cfg.get("fm_inHz", 0) or 0)
@@ -88,6 +89,8 @@ def pusch_before_ceq_processing(carrier_config, pusch_config, chan_cfg,
         est = NrChannelEstimation(h_ls, rs_info, ce_config)
         H, cov = est.channel_est()
         per_slot.append((rx_slot, H, cov, est, slot))
+    if return_full:
+        return nr_pusch, per_slot, rx_fd
     return nr_pusch, per_slot
 
 
@@ -124,42 +127,60 @@ def run_pusch_throughput(carrier_config, pusch_config, chan_cfg,
         use_batch = can_batch_pusch_rx(pusch_config, ceq_algo_list) \
             and not decode_uci
     results = {algo: [] for algo in ceq_algo_list}
-    pending = None   # (snr, ntot, {algo: device ok flags}) to fetch late
+    # deferred-fetch queue (see the PDSCH internal): one stacked ok
+    # transfer for the whole sweep instead of one tunnel sync per point
+    pending = []     # [(snr, ntot, {algo: device ok flags} | None)]
 
     def fetch_pending():
-        nonlocal pending
-        if pending is None:
+        if not pending:
             return
-        snr_p, ntot, oks = pending
-        pending = None
-        for algo, ok in oks.items():
-            npass = int(np.sum(np.asarray(ok)))
-            results[algo].append(npass / max(ntot, 1))
-            print(f"PUSCH snr={snr_p:+.1f}dB {algo}: "
-                  f"{npass}/{ntot} TB passed")
+        import jax.numpy as jnp
+        chunks = [oks[algo] for _, _, oks in pending if oks
+                  for algo in ceq_algo_list]
+        flat = np.asarray(jnp.concatenate(chunks)) if chunks else None
+        off = 0
+        for snr_p, ntot, oks in pending:
+            for algo in ceq_algo_list:
+                if oks is None:
+                    results[algo].append(0.0)
+                    print(f"PUSCH snr={snr_p:+.1f}dB {algo}: "
+                          f"0/0 TB passed")
+                    continue
+                npass = int(np.sum(flat[off: off + ntot]))
+                off += ntot
+                results[algo].append(npass / max(ntot, 1))
+                print(f"PUSCH snr={snr_p:+.1f}dB {algo}: "
+                      f"{npass}/{ntot} TB passed")
+        pending.clear()
 
     for i_snr, snr in enumerate(snr_db_list):
         # fresh channel trajectory per SNR point (see PDSCH internal)
         with prof_.stage("tx_channel_staging", items=n_slots,
                          unit="slots"):
-            nr_pusch, slots = pusch_before_ceq_processing(
+            out = pusch_before_ceq_processing(
                 carrier_config, pusch_config, chan_cfg, -snr, n_slots,
-                seed + 7919 * i_snr, ce_config, do_ce=not use_batch)
+                seed + 7919 * i_snr, ce_config, do_ce=not use_batch,
+                return_full=use_batch)
         if use_batch:
             import jax
             import jax.numpy as jnp
-            alloc = [(rx_slot, slot) for rx_slot, _, _, _, slot in slots
-                     if (slot % pusch_config["period_in_slot"])
-                     in pusch_config["allocated_slots"]]
-            if not alloc:
-                fetch_pending()
-                for algo in ceq_algo_list:
-                    results[algo].append(0.0)
-                    print(f"PUSCH snr={snr:+.1f}dB {algo}: 0/0 TB passed")
+            nr_pusch, slots, rx_fd = out
+            alloc_idx = [i for i, (_, _, _, _, slot) in enumerate(slots)
+                         if (slot % pusch_config["period_in_slot"])
+                         in pusch_config["allocated_slots"]]
+            if not alloc_idx:
+                pending.append((snr, 0, None))
                 continue
-            xp = jnp if isinstance(alloc[0][0], jax.Array) else np
-            rx_stack = xp.stack([a[0] for a in alloc])
-            slot_nums = [a[1] for a in alloc]
+            xp = jnp if isinstance(rx_fd, jax.Array) else np
+            nr_ant = rx_fd.shape[0]
+            slot_size = slots[0][0].shape[-1]
+            full = xp.swapaxes(
+                rx_fd[:, : n_slots * slot_size].reshape(
+                    nr_ant, n_slots, slot_size), 0, 1)
+            rx_stack = (full if len(alloc_idx) == n_slots
+                        else full[np.asarray(alloc_idx)])
+            slot_nums = [slots[i][4] for i in alloc_idx]
+            alloc = alloc_idx
             oks = {}
             nr_pusch.rvidx = -1
             for algo in ceq_algo_list:
@@ -169,9 +190,9 @@ def run_pusch_throughput(carrier_config, pusch_config, chan_cfg,
                         rx_stack, slot_nums, {"algo": algo}, ldpc_config,
                         ce_cfg_full, fetch=False)
                 oks[algo] = ok
-            fetch_pending()
-            pending = (snr, len(alloc), oks)
+            pending.append((snr, len(alloc), oks))
             continue
+        nr_pusch, slots = out
         for algo in ceq_algo_list:
             npass = ntot = 0
             nr_pusch.rvidx = -1

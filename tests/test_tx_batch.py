@@ -133,3 +133,29 @@ def test_tx_batch_in_gen_dl_waveform():
                                atol=1e-4, rtol=0)
     np.testing.assert_allclose(np.asarray(dl_f), np.asarray(dl_s),
                                atol=1e-4, rtol=0)
+
+
+def test_fused_device_tx_matches_host_path():
+    """return_device=True single-PDSCH fast path (grid + OFDM + CP +
+    slot phase + DUC in one fused dispatch) == the composed host path."""
+    from python_5gtoolbox_tpu.waveform import dl as dl_wf
+
+    carrier = _carrier()
+    carrier["carrier_frequency_in_mhz"] = 3610.08   # exercises slot phase
+    prb = carrier_prb_size(30, 20)
+    from python_5gtoolbox_tpu.utils.numerology import fft_size
+    fs = 2 * 1000 * 30 * fft_size(prb)
+    wf_cfg = dict(numofslots=3, startSFN=0, startslot=1,
+                  samplerate_in_mhz=fs / 1e6)
+    cfg = _pdsch(data_source=[1, 1, 0, 1])
+
+    p_dev = Pdsch(dict(cfg), carrier)
+    fd_d, td_d, dl_d, _ = dl_wf.gen_dl_waveform(
+        wf_cfg, carrier, nrPdsch_list=[p_dev], return_device=True)
+    assert td_d is None
+
+    p_host = Pdsch(dict(cfg), carrier)
+    fd_h, _, dl_h, _ = dl_wf.gen_dl_waveform(
+        wf_cfg, carrier, nrPdsch_list=[p_host], return_device=False)
+    np.testing.assert_allclose(np.asarray(fd_d), fd_h, atol=2e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(dl_d), dl_h, atol=2e-4, rtol=0)

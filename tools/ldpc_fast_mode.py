@@ -141,7 +141,10 @@ def throughput():
                 return bits[0, 0].astype(jnp.float32)
             fn = jax.jit(run)
             c = jnp.float32(0.0)
-            fn(llr, c).block_until_ready()   # compile
+            # device_get of a scalar is the only REAL sync on axon
+            # (block_until_ready returns early there) — without it the
+            # compile tail lands inside the timed region
+            float(jax.device_get(fn(llr, c)))
             reps = 10
             t0 = time.perf_counter()
             acc = jnp.float32(0.0)

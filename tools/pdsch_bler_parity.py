@@ -43,16 +43,17 @@ CE = dict(CE_algo="DFT_symmetric", L_symm_left_in_ns=1400,
           enable_FO_est=False, enable_FO_comp=False)
 
 
-def build():
+def build(cell="rayleigh2x4"):
     from python_5gtoolbox_tpu.models import channel as chan_mod
     from python_5gtoolbox_tpu.phy.pdsch import Pdsch
     from python_5gtoolbox_tpu.utils.config import get_default_config, merged
     from python_5gtoolbox_tpu.utils.numerology import (carrier_prb_size,
                                                        fft_size)
 
+    nt, nr = (4, 4) if cell == "tdl4x4corr" else (2, 4)
     carrier = merged(get_default_config("dl_carrier"),
-                     dict(BW=40, scs=30, num_of_ant=2, Nr=4,
-                          maxMIMO_layers=2, PCI=1,
+                     dict(BW=40, scs=30, num_of_ant=nt, Nr=nr,
+                          maxMIMO_layers=nt, PCI=1,
                           carrier_frequency_in_mhz=3840.0))
     prb = carrier_prb_size(30, 40)
     fs_hz = fft_size(prb) * 30 * 1000 * 2        # reference: 2x base rate
@@ -64,15 +65,26 @@ def build():
     pdsch["ResAlloType1"].update(RBStart=0, RBSize=20)
     pdsch["DMRS"].update(nNIDnSCID=1, NumCDMGroupsWithoutData=1,
                          DMRSAddPos=1)
-    pdsch["precoding_matrix"] = np.empty(0)
-    chan_cfg = chan_mod.gen_channel_model_config(
-        model_format="customized",
-        Rspat_config=("customized", "uniform", "DL", (0, 0)),
-        Nt=2, Nr=4, multi_paths=[[0, 0, "Rayleigh", 0, 0]])
+    if cell == "tdl4x4corr":
+        # 4-ant correlated-MIMO TDL cell (VERDICT r4 item 4) — must
+        # mirror tools/pdsch_ref_run.py build_configs_tdl4x4corr
+        pdsch["precoding_matrix"] = (
+            np.array([[1, 0], [0, 1], [1, 0], [0, -1]],
+                     dtype=np.complex64) / np.sqrt(2))
+        chan_cfg = chan_mod.gen_channel_model_config(
+            model_format="TDL-A",
+            Rspat_config=("customized", "uniform", "DL", (0.9, 0.3)),
+            Nt=4, Nr=4, DSdesired=100)
+    else:
+        pdsch["precoding_matrix"] = np.empty(0)
+        chan_cfg = chan_mod.gen_channel_model_config(
+            model_format="customized",
+            Rspat_config=("customized", "uniform", "DL", (0, 0)),
+            Nt=2, Nr=4, multi_paths=[[0, 0, "Rayleigh", 0, 0]])
     return carrier, pdsch, chan_cfg, fs_hz, prb
 
 
-def repo_bler(snrs, algos, trials, batch=40):
+def repo_bler(snrs, algos, trials, batch=40, cell="rayleigh2x4"):
     import jax.numpy as jnp
 
     from python_5gtoolbox_tpu.models import channel as chan_mod
@@ -80,7 +92,7 @@ def repo_bler(snrs, algos, trials, batch=40):
     from python_5gtoolbox_tpu.waveform import dl as dl_wf
     from python_5gtoolbox_tpu.waveform import rx as rx_wf
 
-    carrier, pdsch_cfg, chan_cfg, fs_hz, prb = build()
+    carrier, pdsch_cfg, chan_cfg, fs_hz, prb = build(cell)
     waveform_config = dict(numofslots=1, startSFN=0, startslot=0,
                            samplerate_in_mhz=fs_hz / 1e6)
     slot_size = 14 * 12 * prb
@@ -128,10 +140,18 @@ def main():
     ap.add_argument("--trials", type=int, default=160)
     ap.add_argument("--snrs", default="-8,-5,-4,-3,-2")
     ap.add_argument("--algos", default="MMSE-IRC,ML2-IRC-soft")
+    ap.add_argument("--cell", default="rayleigh2x4",
+                    choices=("rayleigh2x4", "tdl4x4corr"))
+    ap.add_argument("--scout", action="store_true",
+                    help="repo-only quick sweep (no artifact) to find "
+                         "the discriminating SNR region")
     args = ap.parse_args()
     snrs = [float(s) for s in args.snrs.split(",")]
     algos = args.algos.split(",")
-    repo = repo_bler(snrs, algos, args.trials)
+    if args.scout:
+        repo_bler(snrs, algos, min(args.trials, 40), cell=args.cell)
+        return
+    repo = repo_bler(snrs, algos, args.trials, cell=args.cell)
 
     # sum accumulated batch records per (snr, algo) key (the runner
     # appends one line per batch; see tools/pdsch_ref_run.py)
@@ -140,7 +160,7 @@ def main():
     if ref_file.exists():
         for line in ref_file.read_text().splitlines():
             r = json.loads(line)
-            if r.get("cell", "rayleigh2x4") != "rayleigh2x4":
+            if r.get("cell", "rayleigh2x4") != args.cell:
                 continue
             k = (float(r["snr_db"]), r["algo"])
             acc = refs.setdefault(k, dict(trials=0, fails=0))
@@ -166,6 +186,7 @@ def main():
     discr = [d for d in compared if 0.0 < d["ref_bler"] < 1.0]
     doc = dict(
         generated_by="tools/pdsch_bler_parity.py",
+        cell=args.cell,
         reference_runner="tools/pdsch_ref_run.py (reference NumPy sim "
                          "run this round at a discriminating grid)",
         config="NR_PDSCH_throughput_example.py customized-Rayleigh "
@@ -177,7 +198,9 @@ def main():
         discriminating_in_3sigma=len([d for d in discr
                                       if abs(d["z"]) <= 3.0]),
     )
-    with open(OUT / "pdsch_bler_parity.json", "w") as f:
+    out_name = ("pdsch_bler_parity.json" if args.cell == "rayleigh2x4"
+                else f"pdsch_bler_parity_{args.cell}.json")
+    with open(OUT / out_name, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"in-band {doc['discriminating_in_3sigma']}"
           f"/{doc['discriminating_points']} discriminating points")
