@@ -20,9 +20,10 @@ Complex boundary: axon cannot transfer complex buffers host<->device
 OFDM input goes up via utils.host.to_device (float32 planes fused
 on-device) and every fetched value is float32.
 
-Throughput floor (revised r4, trace-backed — out/duc_trace_r04.json is
-a per-op device-time table from a jax.profiler trace of 8 warm chain
-steps): the chain is DATA-MOVEMENT-limited, not FLOP-limited. The
+Throughput floor (trace-backed — out/duc_trace_r05.json, regenerable
+with tools/duc_trace.py, is a per-op device-time table from a
+jax.profiler trace of 8 warm chain steps): the chain is
+DATA-MOVEMENT-limited, not FLOP-limited. The
 round-3 "48 GFLOP GEMM floor" dissolved once the FIR+HB moved into one
 Pallas kernel (ops/pallas_filters.py): the kernel itself is 0.78 ms of
 the ~3.3 ms device step; the rest is the factored XLA IFFT (~0.7 ms),
@@ -212,7 +213,7 @@ def bench_ofdm_duc(profile: dict | None = None):
                     "~0.6 ms chain-sync overhead; the full chain uses "
                     "the FUSED fir+hb kernel and the planar OFDM "
                     "output pass (ops/filters.py tx_lowphy_duc); see "
-                    "out/duc_trace_r04.json for the per-op device "
+                    "out/duc_trace_r05.json for the per-op device "
                     "attribution without the sync smear",
             "config": f"scs{scs} bw{bw} slots{n_slots} ant{nant}",
         }
@@ -401,7 +402,7 @@ def main():
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "out")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "profile_r04.json"), "w") as f:
+    with open(os.path.join(out_dir, "profile_r05.json"), "w") as f:
         json.dump(profile, f, indent=1)
 
     print(json.dumps({

@@ -111,10 +111,19 @@ def main():
     snrs = [float(s) for s in args.snrs.split(",")]
     repo = repo_bler(snrs, args.trials)
 
+    # sum accumulated batch records per SNR (the runner appends one
+    # line per batch; see tools/pusch_fading_ref_run.py)
     refs = {}
     for line in (OUT / "pusch_fading_ref.jsonl").read_text().splitlines():
         r = json.loads(line)
-        refs[float(r["snr_db"])] = r
+        if r.get("fm_hz") != FM_HZ or r.get("timeoff_ns") != TIMEOFF_NS:
+            continue
+        acc = refs.setdefault(float(r["snr_db"]),
+                              dict(trials=0, fails=0))
+        acc["trials"] += r["trials"]
+        acc["fails"] += r["fails"]
+    for r in refs.values():
+        r["bler"] = r["fails"] / r["trials"]
     details = []
     for snr in snrs:
         if snr not in refs:
