@@ -123,8 +123,11 @@ def bench_ofdm_duc(profile: dict | None = None):
     @jax.jit
     def step(fd_slots, c):
         out = filters.tx_lowphy_duc(fd_slots * (1.0 + c), scs, bw,
-                                    int(3500e6), 245.76e6, as_planes=True)
-        return jnp.abs(jax.lax.complex(out[0, -1], out[nant, -1]))
+                                    int(3500e6), 245.76e6,
+                                    as_planes="split")
+        re, im = (out if isinstance(out, tuple)
+                  else (out[:nant], out[nant:]))
+        return jnp.abs(jax.lax.complex(re[0, -1], im[0, -1]))
 
     from python_5gtoolbox_tpu.utils.host import to_device
 

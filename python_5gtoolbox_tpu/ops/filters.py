@@ -314,15 +314,40 @@ def tx_lowphy_duc(fd_ant_major: jnp.ndarray, scs: int, bw: int,
     t = n_slots * ofdm.slot_sample_count(scs, bw)
     if n_hb >= 1 and _use_pallas(t):
         from python_5gtoolbox_tpu.ops import pallas_filters as pf
-        pad = pf.fused_pad_spec(t)
-        planes = ofdm.tx_low_phy_planes(fd_ant_major, scs, bw,
-                                        carrier_freq_hz, pad=pad,
-                                        slot_phase=slot_phase,
-                                        start_slot=start_slot)
-        y = pf.fir_up2_fused_planes(planes, fir_coeff(scs, bw),
-                                    halfband_coeff(), t)
+        nfft = num.fft_size(prb)
+        cps = ofdm._cp_table(scs, nfft)
+        if nfft >= 1024:
+            # fully fused path: the Pallas kernel computes the IFFT
+            # itself (two-stage MXU matmul DFT), so the host pass is
+            # just pad + planar split — no FFT custom-call relayouts,
+            # no CP concat, no frame-layout copies
+            spec = ofdm.tx_spec_planes(fd_ant_major, scs, bw,
+                                       carrier_freq_hz,
+                                       slot_phase=slot_phase,
+                                       start_slot=start_slot)
+            yr, yi = pf.duc_from_spec_planes(
+                spec, cps, fir_coeff(scs, bw), halfband_coeff(),
+                ofdm._phase_comp(scs, nfft, carrier_freq_hz))
+            for _ in range(n_hb - 1):
+                yr = pf.banded_conv_planes(yr, halfband_coeff(), "up2")
+                yi = pf.banded_conv_planes(yi, halfband_coeff(), "up2")
+            if as_planes == "split":
+                return yr, yi
+            if as_planes:
+                return jnp.concatenate([yr, yi], axis=0)
+            return jax.lax.complex(yr, yi).astype(jnp.complex64)
+        symp = ofdm.tx_low_phy_sym_planes(fd_ant_major, scs, bw,
+                                          carrier_freq_hz,
+                                          slot_phase=slot_phase,
+                                          start_slot=start_slot,
+                                          idft="fft")
+        y = pf.fir_up2_fused_symbols(symp, cps,
+                                     fir_coeff(scs, bw),
+                                     halfband_coeff())
         for _ in range(n_hb - 1):
             y = pf.banded_conv_planes(y, halfband_coeff(), "up2")
+        if as_planes == "split":
+            return y[:nant], y[nant:]
         if as_planes:
             return y
         return jax.lax.complex(y[:nant], y[nant:]).astype(jnp.complex64)
@@ -333,6 +358,9 @@ def tx_lowphy_duc(fd_ant_major: jnp.ndarray, scs: int, bw: int,
                                     start_slot)
         td = td * jnp.asarray(ph)[None, :, None]
     out = tx_channel_filter(td.reshape(nant, -1), scs, bw, out_rate_hz)
+    if as_planes == "split":
+        return (jnp.real(out).astype(jnp.float32),
+                jnp.imag(out).astype(jnp.float32))
     if as_planes:
         return jnp.concatenate([jnp.real(out), jnp.imag(out)]
                                ).astype(jnp.float32)

@@ -116,6 +116,53 @@ def tx_low_phy(fd_slots: jnp.ndarray, scs: int, bw: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _idft_mats(nfft: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Two-stage matmul IDFT constants (E2, Tw, E1) for nfft = N1*N2.
+
+    ifft(x)[t] * sqrt(nfft) * (-1)^t ==
+        (E1 @ ((x.reshape(N2, N1).T @ E2.T).T? -- see tx_low_phy_planes)
+    with k = k2*N1 + k1, t = t1*N2 + t2:
+        Y[k1, t2] = sum_k2 S[k2, k1] * E2[k2, t2]
+        Z[t1, t2] = sum_k1 E1[t1, k1] * Tw[k1, t2] * Y[k1, t2]
+    Both contractions are MXU matmuls and the output (t1, t2) axes
+    flatten to contiguous time with NO transpose — this replaces the
+    XLA FFT custom-call whose mandatory input/output relayout copies
+    were 1.07 ms of the 3.49 ms DUC step (out/duc_trace_r05.json).
+    The ifftshift (-1)^t sign ((-1)^{t2} since N2 is even) and the
+    1/sqrt(nfft) net scale are folded into E2 / E1.
+    """
+    k = int(np.log2(nfft))
+    assert 2 ** k == nfft and k >= 8
+    n2 = 128          # lane dim: both reshapes stay free bitcasts
+    n1 = nfft // n2
+    sign2 = np.where(np.arange(n2) % 2 == 0, 1.0, -1.0)
+    # k = k1*n2 + k2, t = t1*n2 + t2 (both minor dims = n2 = 128 lanes)
+    e_in = np.exp(2j * np.pi * np.outer(np.arange(n1), np.arange(n2))
+                  / n1)                                     # [k1, t2]
+    tw = np.exp(2j * np.pi * np.outer(np.arange(n2), np.arange(n2))
+                / nfft) * sign2[None, :]                    # [k2, t2]
+    e_out = np.exp(2j * np.pi * np.outer(np.arange(n1), np.arange(n2))
+                   / n1) / (nfft / np.sqrt(nfft))           # [t1, k2]
+    return (e_in.astype(np.complex64), tw.astype(np.complex64),
+            e_out.astype(np.complex64))
+
+
+def _matmul_idft(spec: jnp.ndarray, nfft: int) -> jnp.ndarray:
+    """(..., nfft) center-ifftshifted IDFT * sqrt(nfft):
+    equals jnp.fft.ifft(spec) * sqrt(nfft) * (-1)^t, time-contiguous."""
+    e_in, tw, e_out = _idft_mats(nfft)
+    n1 = nfft // 128
+    s = spec.reshape(spec.shape[:-1] + (n1, 128))
+    prec = jax.lax.Precision.HIGH
+    y = jnp.einsum("...kb,kt->...bt", s, jnp.asarray(e_in),
+                   precision=prec)
+    y = y * jnp.asarray(tw)
+    z = jnp.einsum("pk,...kt->...pt", jnp.asarray(e_out), y,
+                   precision=prec)
+    return z.reshape(spec.shape[:-1] + (nfft,))
+
+
+@functools.lru_cache(maxsize=None)
 def _slot_phase_const(scs: int, carrier_freq_hz: int, n_slots: int,
                       start_slot: int) -> np.ndarray:
     """Per-slot phase compensation e^{-j2pi fc t_slot}
@@ -163,11 +210,11 @@ def tx_low_phy_planes(fd_slots: jnp.ndarray, scs: int, bw: int,
         x = x * jnp.asarray(ph)[None, :, None, None]
     lo = (nfft - n_sc) // 2
     spec = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(lo, nfft - n_sc - lo)])
-    td = jnp.fft.ifft(spec, axis=-1)
-    sign = np.ones(nfft, np.float32)
-    sign[1::2] = -1.0
-    sp = (sign * np.sqrt(nfft)).astype(np.complex64) \
-        * np.asarray(_phase_comp(scs, nfft, carrier_freq_hz))[:, None]
+    # matmul IDFT (sign + 1/sqrt(N) scale folded, see _idft_mats) — the
+    # MXU two-stage DFT avoids the FFT custom-call's relayout copies
+    td = _matmul_idft(spec, nfft)
+    sp = np.asarray(_phase_comp(scs, nfft, carrier_freq_hz)
+                    )[:, None].astype(np.complex64)
     re = jnp.real(td) * jnp.asarray(sp.real) \
         - jnp.imag(td) * jnp.asarray(sp.imag)
     im = jnp.real(td) * jnp.asarray(sp.imag) \
@@ -189,6 +236,82 @@ def tx_low_phy_planes(fd_slots: jnp.ndarray, scs: int, bw: int,
         return jnp.pad(flat, ((0, 0), pad))
 
     return jnp.concatenate([cp_concat(re), cp_concat(im)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("scs", "bw",
+                                             "carrier_freq_hz", "nfft",
+                                             "slot_phase", "start_slot",
+                                             "idft"))
+def tx_low_phy_sym_planes(fd_slots: jnp.ndarray, scs: int, bw: int,
+                          carrier_freq_hz: int = 0,
+                          nfft: int | None = None,
+                          slot_phase: bool = False,
+                          start_slot: int = 0,
+                          idft: str = "matmul") -> jnp.ndarray:
+    """Antenna-major per-SYMBOL tx_low_phy: (ant, slots, 14, n_sc)
+    complex -> (2*ant, slots, 14, nfft) float32 planes (real planes
+    first) of the scaled/phase-compensated IFFT outputs, WITHOUT CP
+    insertion — CP assembly happens inside the consuming Pallas DUC
+    kernel (pallas_filters.fir_up2_fused_symbols), so the CP concat,
+    its padding and the frame-layout copy never hit HBM.
+
+    Same math as tx_low_phy_planes up to (and excluding) cp_concat.
+    idft='matmul' uses the two-stage MXU DFT; 'fft' the XLA FFT.
+    """
+    n_sc = fd_slots.shape[-1]
+    if nfft is None:
+        nfft = num.fft_size(num.carrier_prb_size(scs, bw))
+    x = fd_slots.astype(jnp.complex64)
+    if slot_phase:
+        ph = _slot_phase_const(scs, carrier_freq_hz, fd_slots.shape[1],
+                               start_slot)
+        x = x * jnp.asarray(ph)[None, :, None, None]
+    lo = (nfft - n_sc) // 2
+    spec = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(lo, nfft - n_sc - lo)])
+    if idft == "matmul":
+        td = _matmul_idft(spec, nfft)
+        sp = np.asarray(_phase_comp(scs, nfft, carrier_freq_hz)
+                        )[:, None].astype(np.complex64)
+    else:
+        td = jnp.fft.ifft(spec, axis=-1)
+        sign = np.ones(nfft, np.float32)
+        sign[1::2] = -1.0
+        sp = (sign * np.sqrt(nfft)).astype(np.complex64) \
+            * np.asarray(_phase_comp(scs, nfft, carrier_freq_hz))[:, None]
+    re = jnp.real(td) * jnp.asarray(sp.real) \
+        - jnp.imag(td) * jnp.asarray(sp.imag)
+    im = jnp.real(td) * jnp.asarray(sp.imag) \
+        + jnp.imag(td) * jnp.asarray(sp.real)
+    return jnp.concatenate([re, im], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("scs", "bw", "nfft",
+                                             "slot_phase",
+                                             "carrier_freq_hz",
+                                             "start_slot"))
+def tx_spec_planes(fd_slots: jnp.ndarray, scs: int, bw: int,
+                   carrier_freq_hz: int = 0, nfft: int | None = None,
+                   slot_phase: bool = False,
+                   start_slot: int = 0) -> jnp.ndarray:
+    """(ant, slots, 14, n_sc) complex grid -> (2*ant, slots,
+    14*nfft/128, 128) f32 padded-spec planes (real planes first) for
+    the fully fused Pallas DUC (pallas_filters.duc_from_spec_planes),
+    which performs the IFFT itself. Only the center padding, the
+    optional slot-phase fold and the complex->planar split happen here
+    (one fused elementwise pass)."""
+    n_sc = fd_slots.shape[-1]
+    if nfft is None:
+        nfft = num.fft_size(num.carrier_prb_size(scs, bw))
+    x = fd_slots.astype(jnp.complex64)
+    if slot_phase:
+        ph = _slot_phase_const(scs, carrier_freq_hz, fd_slots.shape[1],
+                               start_slot)
+        x = x * jnp.asarray(ph)[None, :, None, None]
+    lo = (nfft - n_sc) // 2
+    spec = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(lo, nfft - n_sc - lo)])
+    nant, n_slots = fd_slots.shape[0], fd_slots.shape[1]
+    planes = jnp.concatenate([jnp.real(spec), jnp.imag(spec)], axis=0)
+    return planes.reshape(2 * nant, n_slots, 14 * nfft // 128, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("scs", "bw",
