@@ -45,8 +45,11 @@ def run_chain(steps: int, logdir: str):
 
     @jax.jit
     def step(x, c):
-        y = filters.tx_lowphy_duc(x * (1.0 + c), scs, bw, int(3500e6))
-        return jnp.abs(y[0, -1])
+        y = filters.tx_lowphy_duc(x * (1.0 + c), scs, bw, int(3500e6),
+                                  as_planes="split")
+        re, im = (y if isinstance(y, tuple)
+                  else (y[:nant], y[nant:]))
+        return jnp.abs(jax.lax.complex(re[0, -1], im[0, -1]))
 
     c = jnp.float32(0.0)
     float(jax.device_get(step(fdj, c)))        # compile + REAL sync
