@@ -210,11 +210,11 @@ def tx_low_phy_planes(fd_slots: jnp.ndarray, scs: int, bw: int,
         x = x * jnp.asarray(ph)[None, :, None, None]
     lo = (nfft - n_sc) // 2
     spec = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(lo, nfft - n_sc - lo)])
-    # matmul IDFT (sign + 1/sqrt(N) scale folded, see _idft_mats) — the
-    # MXU two-stage DFT avoids the FFT custom-call's relayout copies
-    td = _matmul_idft(spec, nfft)
-    sp = np.asarray(_phase_comp(scs, nfft, carrier_freq_hz)
-                    )[:, None].astype(np.complex64)
+    td = jnp.fft.ifft(spec, axis=-1)
+    sign = np.ones(nfft, np.float32)
+    sign[1::2] = -1.0
+    sp = (sign * np.sqrt(nfft)).astype(np.complex64) \
+        * np.asarray(_phase_comp(scs, nfft, carrier_freq_hz))[:, None]
     re = jnp.real(td) * jnp.asarray(sp.real) \
         - jnp.imag(td) * jnp.asarray(sp.imag)
     im = jnp.real(td) * jnp.asarray(sp.imag) \
@@ -247,7 +247,7 @@ def tx_low_phy_sym_planes(fd_slots: jnp.ndarray, scs: int, bw: int,
                           nfft: int | None = None,
                           slot_phase: bool = False,
                           start_slot: int = 0,
-                          idft: str = "matmul") -> jnp.ndarray:
+                          idft: str = "fft") -> jnp.ndarray:
     """Antenna-major per-SYMBOL tx_low_phy: (ant, slots, 14, n_sc)
     complex -> (2*ant, slots, 14, nfft) float32 planes (real planes
     first) of the scaled/phase-compensated IFFT outputs, WITHOUT CP
