@@ -85,3 +85,33 @@ def test_planar_chain_matches_complex_chain(taps):
     got = np.asarray(jax.lax.complex(y[:2], y[2:]))
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() < TOL
+
+
+@pytest.mark.parametrize("scs,bw,prb,n_slots",
+                         [(30, 100, 273, 2), (30, 40, 106, 2),
+                          (15, 20, 106, 1)])
+def test_duc_from_spec_planes_matches_fallback(scs, bw, prb, n_slots):
+    """The fully fused spec->waveform kernel (in-kernel matmul IFFT +
+    CP insertion + FIR + HB) == tx_low_phy + tx_channel_filter."""
+    from python_5gtoolbox_tpu.ops import ofdm
+
+    rng = np.random.default_rng(11)
+    fd = jnp.asarray((rng.normal(size=(2, n_slots, 14, 12 * prb))
+                      + 1j * rng.normal(size=(2, n_slots, 14, 12 * prb))
+                      ).astype(np.complex64))
+    td = ofdm.tx_low_phy(fd, scs, bw, int(3500e6), roll_ant=False)
+    ref = np.asarray(filters.tx_channel_filter(
+        td.reshape(2, -1), scs, bw, 245.76e6))
+    nfft = ofdm.num.fft_size(prb)
+    spec = ofdm.tx_spec_planes(fd, scs, bw, int(3500e6))
+    yr, yi = pf.duc_from_spec_planes(
+        spec, ofdm._cp_table(scs, nfft), filters.fir_coeff(scs, bw),
+        filters.halfband_coeff(),
+        ofdm._phase_comp(scs, nfft, int(3500e6)))
+    for _ in range(int(np.log2(round(245.76e6
+                                     / (nfft * scs * 1000)))) - 1):
+        yr = pf.banded_conv_planes(yr, filters.halfband_coeff(), "up2")
+        yi = pf.banded_conv_planes(yi, filters.halfband_coeff(), "up2")
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < TOL
