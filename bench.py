@@ -324,6 +324,56 @@ def bench_link_level():
     return best
 
 
+def bench_link_level_pusch_tp():
+    """Transform-precoded (DFT-s-OFDM) UL sweep through the batched
+    one-dispatch RX -> slots/s (VERDICT r4 item 3: the r5
+    batched-RX transform-precoding path as a bench metric).
+
+    Config mirrors tests/test_batch_rx.py::
+    test_pusch_batch_transform_precoding (1 layer, NumCDM=2, MMSE-IRC;
+    reference de-precode branch
+    /root/reference/py5gphy/nr_pusch/nr_pusch.py:116-216) scaled up to
+    BW20/20 slots like the DL sweep metric."""
+    import numpy as np
+
+    from python_5gtoolbox_tpu.models import channel as chan_mod
+    from python_5gtoolbox_tpu.utils.config import get_default_config, merged
+    from scripts.internal import sim_pusch_throughput_internal as pusim
+
+    carrier = merged(get_default_config("ul_carrier"),
+                     dict(BW=20, scs=30, num_of_ant=1, Nr=2,
+                          maxMIMO_layers=1, PCI=1,
+                          carrier_frequency_in_mhz=3840.0))
+    pusch = merged(get_default_config("pusch"),
+                   dict(mcs_table="MCStable61411", mcs_index=2,
+                        nTpPi2BPSK=0, num_of_layers=1, rv=[0],
+                        data_source=[], StartSymbolIndex=0,
+                        NrOfSymbols=14, nTransPrecode=1, EnableULSCH=1,
+                        EnableACK=0, EnableCSI1=0, EnableCSI2=0,
+                        PortIndexList=[1000], nNrOfAntennaPorts=1,
+                        nPMI=0))
+    pusch["ResAlloType1"].update(RBStart=0, RBSize=48)   # 48 = 2^4*3 ok
+    pusch["DMRS"].update(NumCDMGroupsWithoutData=2, DMRSAddPos=1)
+    assert pusim.can_batch_pusch_rx(pusch, ["MMSE-IRC"])
+    chan = chan_mod.gen_channel_model_config(
+        model_format="customized", Nt=1, Nr=2, fm_inHz=200,
+        multi_paths=[[0, 0, "Rayleigh", 0, 0]])
+    ce = dict(CE_algo="DFT", L_symm_left_in_ns=200,
+              L_symm_right_in_ns=200, eRB=2, enable_TO_comp=True,
+              enable_FO_est=False, enable_FO_comp=False)
+    ldpc = dict(L=16, algo="min-sum", alpha=0.8, beta=0.3)
+    snrs = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    kw = dict(ceq_algo_list=["MMSE-IRC"], n_slots=20, ce_config=ce,
+              ldpc_config=ldpc, seed=3, use_batch=True)
+    pusim.run_pusch_throughput(carrier, pusch, chan, snrs, **kw)  # warm
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pusim.run_pusch_throughput(carrier, pusch, chan, snrs, **kw)
+        best = max(best, len(snrs) * 20 / (time.perf_counter() - t0))
+    return best
+
+
 def main():
     _enable_compile_cache()
     profile: dict = {}
@@ -404,6 +454,21 @@ def main():
         })
     except Exception as e:  # never fail the bench line on the sim path
         extra.append({"metric": "link_level_pdsch_sweep",
+                      "error": repr(e)[:200]})
+    try:
+        tp_slots_s = bench_link_level_pusch_tp()
+        extra.append({
+            "metric": "link_level_pusch_tp_sweep",
+            "value": round(tp_slots_s, 1),
+            "unit": "slots/s",
+            "rt_factor": round(tp_slots_s / 2000.0, 4),
+            "config": "DFT-s-OFDM transform precoding + 1-tap Rayleigh "
+                      "fm=200 + batched-RX MMSE-IRC + LDPC L=16, BW20 "
+                      "scs30 1-layer Nt1/Nr2 48 PRB, 6 SNR x 20 slots, "
+                      "end-to-end on chip",
+        })
+    except Exception as e:
+        extra.append({"metric": "link_level_pusch_tp_sweep",
                       "error": repr(e)[:200]})
 
     if _REF_LDPC_CW_PER_S:
