@@ -32,10 +32,16 @@ def enable_persistent_compile_cache() -> None:
 
     On axon this is what makes TPU sims viable: each config shape's
     multi-minute executable compile is paid once EVER instead of once
-    per process. CPU runs benefit too (the test suite compiles
-    thousands of small executables).
+    per process. CPU test runs must NOT use it (PY5G_NO_COMPILE_CACHE
+    gate below): XLA-CPU segfaults serializing the largest
+    executables.
     """
     import jax
+
+    if os.environ.get("PY5G_NO_COMPILE_CACHE") == "1":
+        # test runs disable the cache: XLA-CPU segfaults serializing
+        # the large batched-RX executables (tests/conftest.py)
+        return
 
     path = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
     path.mkdir(exist_ok=True)

@@ -24,6 +24,18 @@ import jax  # noqa: E402
 
 if not _ON_TPU:
     jax.config.update("jax_platforms", "cpu")
+# Disable the persistent compilation cache for CPU test runs: writing
+# the large one-dispatch RX executables through the cache serializer
+# segfaults XLA-CPU (observed deterministically at
+# test_batch_rx_harq's rx_process_batch compile; the crash is inside
+# compilation_cache.put_executable_and_time). The cache exists to
+# amortize the multi-minute axon TPU compiles (utils/platform.py),
+# which tests never do.
+os.environ["PY5G_NO_COMPILE_CACHE"] = "1"
+try:
+    jax.config.update("jax_enable_compilation_cache", False)
+except Exception:
+    pass
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
