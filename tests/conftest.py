@@ -80,3 +80,20 @@ def _jax_map_guard():
     yield
     if _n_maps() > _MAPS_LIMIT:
         jax.clear_caches()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_executable_space():
+    """Clear JAX executable caches at every test-module boundary.
+
+    XLA-CPU segfaults inside backend_compile_and_load when one of the
+    very large one-dispatch RX executables (rx/batch_core.py) is
+    compiled into a process already holding many earlier modules'
+    executables (reproduced deterministically: test_aclr_evm +
+    test_batch_rx then test_batch_rx_harq's rx_process_batch compile;
+    each file passes alone). Executables are rarely shared across
+    modules (shapes differ), so the only cost is a per-module
+    recompile of shared helpers.
+    """
+    jax.clear_caches()
+    yield
