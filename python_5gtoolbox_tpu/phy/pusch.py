@@ -61,13 +61,16 @@ def ulsch_crc_segment(trblk: np.ndarray, tbsize: int, rate1024: float):
 def _ulsch_encode_jit(blkandcrc, cbz, L, K, C, zc, bgn, qm, n_layers, rv, G):
     info = ldpc_ops.CBInfo(C=C, cbz=cbz, L=L, F=K - cbz - L, K=K, Zc=zc,
                            bgn=bgn)
-    cbs = blkandcrc.reshape(C, cbz).astype(jnp.int8)
+    lead = blkandcrc.shape[:-1]
+    cbs = blkandcrc.reshape(lead + (C, cbz)).astype(jnp.int8)
     if C > 1:
         cbs = crc_ops.crc_encode(cbs, "24B")
     pad = K - cbs.shape[-1]
     if pad:
-        cbs = jnp.concatenate([cbs, jnp.zeros((C, pad), jnp.int8)], axis=-1)
-    dn = ldpc_ops.ldpc_encode(cbs, bgn)
+        cbs = jnp.concatenate(
+            [cbs, jnp.zeros(lead + (C, pad), jnp.int8)], axis=-1)
+    dn = ldpc_ops.ldpc_encode(cbs.reshape((-1, K)), bgn)
+    dn = dn.reshape(lead + (C, dn.shape[-1]))
     er_list = ldpc_ops.get_er_ldpc(G, C, qm, n_layers)
     outs = []
     c0 = 0
@@ -76,10 +79,11 @@ def _ulsch_encode_jit(blkandcrc, cbz, L, K, C, zc, bgn, qm, n_layers, rv, G):
         c1 = c0
         while c1 < C and er_list[c1] == E:
             c1 += 1
-        fe = ldpc_ops.ldpc_ratematch(dn[c0:c1], info, E, rv, qm)  # Ncb = N
-        outs.append(fe.reshape((c1 - c0) * E))
+        fe = ldpc_ops.ldpc_ratematch(dn[..., c0:c1, :], info, E, rv,
+                                     qm)  # Ncb = N (no UL LBRM here)
+        outs.append(fe.reshape(lead + ((c1 - c0) * E,)))
         c0 = c1
-    return jnp.concatenate(outs)
+    return jnp.concatenate(outs, axis=-1)
 
 
 def ulsch_encode(trblk, tbsize, qm, rate1024, n_layers, rv, g_ulsch):
@@ -88,6 +92,23 @@ def ulsch_encode(trblk, tbsize, qm, rate1024, n_layers, rv, g_ulsch):
     return np.asarray(_ulsch_encode_jit(
         jnp.asarray(blkandcrc), info.cbz, info.L, info.K, info.C, info.Zc,
         bgn, qm, n_layers, rv, g_ulsch))
+
+
+def ulsch_encode_batch(trb, tbsize, qm, rate1024, n_layers, rv, g_ulsch):
+    """(..., TBSize) -> (..., G_ULSCH) coded bits, everything on device.
+
+    Slot-batched analogue of ulsch_encode (same 38.212 6.2 chain,
+    reference py5gphy/nr_pusch/nr_ulsch.py:13-60) for tx_grid_batch."""
+    poly = "24A" if tbsize > 3824 else "16"
+    blkandcrc = crc_ops.crc_encode(jnp.asarray(trb, jnp.int8), poly)
+    bgn = 1
+    if (tbsize <= 292 or (tbsize <= 3824 and rate1024 <= 0.67 * 1024)
+            or rate1024 <= 0.25 * 1024):
+        bgn = 2
+    info = ldpc_ops.get_cbs_info(blkandcrc.shape[-1], bgn)
+    return _ulsch_encode_jit(
+        blkandcrc, info.cbz, info.L, info.K, info.C, info.Zc, bgn, qm,
+        n_layers, rv, g_ulsch)
 
 
 def get_precoding_matrix(n_layers: int, n_ports: int, npmi: int) -> np.ndarray:
@@ -185,6 +206,164 @@ class NrPUSCH:
             return np.random.randint(2, size=tbsize).astype(np.int8)
         reps = tbsize // len(src) + 1
         return np.asarray((src * reps)[:tbsize], np.int8)
+
+    def tx_batch_supported(self) -> bool:
+        """True when tx_grid_batch can reproduce process() with static
+        slices only: ULSCH-only payload (no UCI — the no-UCI 6.2.7
+        multiplex walk is the identity on g_ulsch), type-1 single-symbol
+        DMRS inside the allocation, unambiguous data comb."""
+        cfg, dmrs = self.cfg, self.cfg["DMRS"]
+        if cfg["EnableULSCH"] != 1:
+            return False
+        if (cfg["EnableACK"] * cfg["NumACKBits"]
+                or cfg["EnableCSI1"] * cfg["NumCSI1Bits"]
+                or cfg["EnableCSI2"] * cfg["NumCSI2Bits"]):
+            return False
+        if dmrs["DMRSConfigType"] != 1 or dmrs["NrOfDMRSSymbols"] != 1:
+            return False
+        start = cfg["StartSymbolIndex"]
+        ld = start + cfg["NrOfSymbols"]
+        syms = pusch_dmrs_symlist(ld, dmrs["DMRSAddPos"])
+        if any(s < start or s >= ld for s in syms):
+            return False
+        combs = {((p - 1000) // 2) % 2
+                 for p in cfg["PortIndexList"][:cfg["num_of_layers"]]}
+        if dmrs["NumCDMGroupsWithoutData"] == 1 and len(combs) != 1:
+            return False
+        return True
+
+    def _tx_layout(self):
+        cfg, dmrs = self.cfg, self.cfg["DMRS"]
+        start = cfg["StartSymbolIndex"]
+        n_sym = cfg["NrOfSymbols"]
+        dmrs_syms = tuple(pusch_dmrs_symlist(start + n_sym,
+                                             dmrs["DMRSAddPos"]))
+        cdm = dmrs["NumCDMGroupsWithoutData"]
+        comb = ((cfg["PortIndexList"][0] - 1000) // 2) % 2
+        rb_start = cfg["ResAlloType1"]["RBStart"]
+        rb_size = cfg["ResAlloType1"]["RBSize"]
+        n_data_re = (n_sym - len(dmrs_syms)) * rb_size * 12
+        if cdm == 1:
+            n_data_re += len(dmrs_syms) * rb_size * 6
+        layout = (12 * self.prb_size, rb_start, rb_size, start, n_sym,
+                  dmrs_syms, cdm, 1 - comb)
+        return layout, n_data_re
+
+    def _dmrs_values(self, slot: int, precoding=None) -> np.ndarray:
+        """Precoded DMRS vectors for one slot: (nd, ant, rb12) complex64
+        (host; same math as _dmrs_process without the grid writes)."""
+        cfg, dmrs = self.cfg, self.cfg["DMRS"]
+        if precoding is None:
+            precoding = get_precoding_matrix(
+                cfg["num_of_layers"], cfg["nNrOfAntennaPorts"], cfg["nPMI"])
+        rb_start = cfg["ResAlloType1"]["RBStart"]
+        rb_size = cfg["ResAlloType1"]["RBSize"]
+        symlist = pusch_dmrs_symlist(
+            cfg["StartSymbolIndex"] + cfg["NrOfSymbols"],
+            dmrs["DMRSAddPos"])
+        n_layers = cfg["num_of_layers"]
+        ports = cfg["PortIndexList"]
+        scaling = (1.0 if dmrs["NumCDMGroupsWithoutData"] == 1
+                   else 10 ** (-3 / 20))
+        n_scid = dmrs["nSCID"]
+        tpd = dmrs["transformPrecodingDisabled"]
+        nid = int(tpd["NID0"] if n_scid == 0 else tpd["NID1"])
+        tpe = dmrs["transformPrecodingEnabled"]
+        out = np.zeros((len(symlist), precoding.shape[0],
+                        rb_size * 12), np.complex64)
+        for k, sym in enumerate(symlist):
+            if cfg["nTransPrecode"] == 0:
+                seq = _dmrs_seq_no_tp(n_scid, nid, rb_start * 6,
+                                      rb_size * 6, slot, sym)
+            else:
+                seq = _dmrs_seq_tp(tpe["nPuschID"],
+                                   tpe["groupOrSequenceHopping"],
+                                   rb_size * 6, slot, sym)
+            data = np.zeros((n_layers, rb_size * 12), np.complex64)
+            for m in range(n_layers):
+                d0 = ports[m] - 1000
+                delta = (d0 // 2) % 2
+                wf1 = 1 - (d0 % 2) * 2
+                data[m, 0 + delta::4] = scaling * seq[0::2]
+                data[m, 2 + delta::4] = scaling * wf1 * seq[1::2]
+            out[k] = precoding @ data
+        return out
+
+    def tx_grid_batch(self, slot_list, roll_ant: int = 0):
+        """Slot-batched device TX: one traced ULSCH encode + symbol
+        encode + grid compose for every allocated slot in slot_list ->
+        (S, ant, 14, n_sc) device complex64 grids (gated slots all-zero).
+
+        UL analogue of Pdsch.tx_grid_batch: replaces the reference's
+        per-slot process() loop (py5gphy/nr_waveform/nr_ul_waveform.py:
+        52-103 + nr_pusch/nr_pusch_process.py:9-70) with ULSCH encode
+        batched over slots x CBs and a static-slice grid composition
+        (phy/pdsch._pdsch_compose_grid — the UL layout is structurally
+        identical). rv cycling / trblk regeneration match process().
+        Gated by tx_batch_supported() (no UCI: the 6.2.7 multiplex is
+        then the identity, so g_seq == the batched ULSCH bits).
+        """
+        from python_5gtoolbox_tpu.phy.pdsch import _pdsch_compose_grid
+        cfg = self.cfg
+        n_layers = cfg["num_of_layers"]
+        n_ant = self.carrier["num_of_ant"]
+        pm = get_precoding_matrix(n_layers, cfg["nNrOfAntennaPorts"],
+                                  cfg["nPMI"])
+        prec = np.roll(pm, -roll_ant, axis=0) if roll_ant else pm
+        layout, n_data_re = self._tx_layout()
+        n_sc = layout[0]
+        s_dim = len(slot_list)
+
+        active_idx, rvs, trblks = [], [], []
+        for i, slot in enumerate(slot_list):
+            if (slot % cfg["period_in_slot"]) not in cfg["allocated_slots"]:
+                continue
+            rv = self.getnextrv()
+            if self.rvidx == 0 or self.trblk is None:
+                self.trblk = self.get_trblk(self.tbsize)
+            active_idx.append(i)
+            rvs.append(rv)
+            trblks.append(self.trblk)
+        if not active_idx:
+            return jnp.zeros((s_dim, n_ant, 14, n_sc), jnp.complex64)
+
+        g_total = self.qm * n_layers * n_data_re
+        trb = jnp.asarray(np.stack(trblks))              # (Sa, A)
+        cache = getattr(self, "_tx_dev_cache", None)
+        if cache is None:
+            cache = self._tx_dev_cache = {}
+        uniq = sorted(set(rvs))
+        if len(uniq) == 1:
+            g_seq = ulsch_encode_batch(trb, self.tbsize, self.qm,
+                                       self.rate1024, n_layers, uniq[0],
+                                       g_total)
+        else:
+            g_seq = jnp.zeros((len(rvs), g_total), jnp.int8)
+            for rv in uniq:
+                idx = [k for k, v in enumerate(rvs) if v == rv]
+                gk = ulsch_encode_batch(trb[np.asarray(idx)], self.tbsize,
+                                        self.qm, self.rate1024, n_layers,
+                                        rv, g_total)
+                g_seq = g_seq.at[np.asarray(idx)].set(gk.astype(jnp.int8))
+        cinit = cfg["rnti"] * (2 ** 15) + cfg["nNid"]
+        scr_key = ("scr", cinit, g_total)
+        if scr_key not in cache:
+            cache[scr_key] = jnp.asarray(gen_prbs_np(cinit, g_total))
+        precoded = pusch_symbol_encode(
+            g_seq, cache[scr_key], to_device(prec), self.qm, n_layers,
+            cfg["nTransPrecode"],
+            cfg["ResAlloType1"]["RBSize"] * 12)          # (Sa, ant, n_re)
+        dmrs_key = ("dmrs", roll_ant) + tuple(
+            int(slot_list[i]) for i in active_idx)
+        if dmrs_key not in cache:
+            cache[dmrs_key] = to_device(np.stack(
+                [self._dmrs_values(int(slot_list[i]), precoding=prec)
+                 for i in active_idx]))
+        grid = _pdsch_compose_grid(precoded, cache[dmrs_key], layout)
+        if len(active_idx) != s_dim:
+            grid = jnp.zeros((s_dim, n_ant, 14, n_sc), jnp.complex64) \
+                .at[np.asarray(active_idx)].set(grid)
+        return grid
 
     def process(self, fd_slot: np.ndarray, usage: np.ndarray, slot: int):
         if (slot % self.cfg["period_in_slot"]) not in self.cfg["allocated_slots"]:
